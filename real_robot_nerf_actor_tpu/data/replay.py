@@ -1,0 +1,132 @@
+"""Robot/camera I/O behind a protocol, with replay implementations.
+
+The reference talks to hardware directly (XArmAPI + pyrealsense2 in
+/root/reference/val_real_camera_prev.py:46-160,700-876). Per BASELINE.json,
+real-sensor I/O is stubbed behind a replay interface: `RobotIO` is the
+protocol a hardware backend would implement; `ReplayRobotIO` serves recorded
+demos so training/eval/deployment code runs identically with or without a
+robot.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Protocol, Tuple
+
+import numpy as np
+
+from real_robot_nerf_actor_tpu.data.keyframes import (
+    KeyframeDemo, parse_xarm_position_file)
+from real_robot_nerf_actor_tpu.data.ply import read_ply
+
+
+@dataclasses.dataclass
+class PointCloudSample:
+    """One observation: points in robot-base frame + normalized colors."""
+
+    points: np.ndarray  # (N, 3) float32, metres, base frame
+    colors: np.ndarray  # (N, 3) float32 in [-1, 1] (reference normalization)
+
+
+def load_rgb_pcd(pcd_path: str, cam2base: np.ndarray,
+                 max_range: float = 3.0) -> PointCloudSample:
+    """Load a .ply, filter far points, transform to base frame, normalize rgb.
+
+    Mirrors get_rgb_pcd (train_peract_single_kitchen_single_task.py:375-390):
+    drop points with ||p|| >= 3 m, p_base = p @ R^T + t, rgb -> (rgb-0.5)/0.5.
+    """
+    pts, colors = read_ply(pcd_path)
+    if colors is None:
+        colors = np.zeros_like(pts)
+    keep = np.linalg.norm(pts, axis=1) < max_range
+    pts, colors = pts[keep], colors[keep]
+    pts = pts @ cam2base[:3, :3].T + cam2base[:3, 3]
+    colors = (colors - 0.5) / 0.5
+    return PointCloudSample(points=pts.astype(np.float32),
+                            colors=colors.astype(np.float32))
+
+
+def pad_point_cloud(sample: PointCloudSample, max_num_coords: int
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad/truncate to a static size; returns (points, colors, valid_mask)."""
+    n = sample.points.shape[0]
+    if n >= max_num_coords:
+        return (sample.points[:max_num_coords], sample.colors[:max_num_coords],
+                np.ones(max_num_coords, bool))
+    pad = max_num_coords - n
+    pts = np.concatenate([sample.points, np.zeros((pad, 3), np.float32)])
+    cols = np.concatenate([sample.colors, np.zeros((pad, 3), np.float32)])
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    return pts, cols, valid
+
+
+class RobotIO(Protocol):
+    """Hardware abstraction used by the deployment loop (train/serve.py)."""
+
+    def capture_pointcloud(self) -> PointCloudSample: ...
+
+    def get_proprio(self) -> Tuple[np.ndarray, np.ndarray, float]:
+        """Returns (xyz metres, rotation degrees, gripper_open)."""
+        ...
+
+    def move_to(self, xyz: np.ndarray, rotation_deg: np.ndarray,
+                gripper_open: float) -> None: ...
+
+
+@dataclasses.dataclass
+class ReplayStep:
+    observation: PointCloudSample
+    proprio_xyz: np.ndarray
+    proprio_rot: np.ndarray
+    proprio_grip: float
+
+
+class ReplayRobotIO:
+    """RobotIO implementation that replays a recorded demo; `move_to` records
+    the commanded actions so tests can assert on the policy's outputs."""
+
+    def __init__(self, steps: List[ReplayStep]):
+        self._steps = steps
+        self._t = 0
+        self.commands: List[Tuple[np.ndarray, np.ndarray, float]] = []
+
+    def capture_pointcloud(self) -> PointCloudSample:
+        return self._steps[min(self._t, len(self._steps) - 1)].observation
+
+    def get_proprio(self):
+        s = self._steps[min(self._t, len(self._steps) - 1)]
+        return s.proprio_xyz, s.proprio_rot, s.proprio_grip
+
+    def move_to(self, xyz, rotation_deg, gripper_open):
+        self.commands.append((np.asarray(xyz), np.asarray(rotation_deg),
+                              float(gripper_open)))
+        self._t += 1
+
+
+class ReplaySource:
+    """Keyframe-demo dataset over a directory tree shaped like the
+    reference's data layout:
+
+        root/
+          {demo}_xarm_position.txt       # keyframe poses
+          real{demo}/pcd{k}.ply          # per-keyframe point clouds
+    """
+
+    def __init__(self, root: str, n_demos: int, cam2base: np.ndarray):
+        self.root = root
+        self.cam2base = cam2base
+        self.demos: List[KeyframeDemo] = [
+            parse_xarm_position_file(
+                os.path.join(root, f"{d}_xarm_position.txt"))
+            for d in range(n_demos)]
+
+    def num_keyframes(self, demo: int) -> int:
+        return self.demos[demo].num_keyframes
+
+    def pose(self, demo: int, k: int):
+        d = self.demos[demo]
+        return d.xyz[k], d.rotation[k], d.gripper_open[k]
+
+    def pointcloud(self, demo: int, k: int) -> PointCloudSample:
+        path = os.path.join(self.root, f"real{demo}", f"pcd{k}.ply")
+        return load_rgb_pcd(path, self.cam2base)

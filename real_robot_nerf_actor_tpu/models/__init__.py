@@ -1,0 +1,9 @@
+from real_robot_nerf_actor_tpu.models.blocks import (
+    Conv3DBlock,
+    Conv3DUpsampleBlock,
+    DenseBlock,
+    MultiLayer3DEncoderShallow,
+)
+from real_robot_nerf_actor_tpu.models.resnetfc import ResnetFC
+from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig, VoxelNerfField
+from real_robot_nerf_actor_tpu.models.perceiver import PerceiverConfig, PerceiverIO

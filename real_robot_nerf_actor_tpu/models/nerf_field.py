@@ -1,0 +1,131 @@
+"""Voxel-conditioned NeRF field (the reference's PixelNeRFEmbedNet,
+/root/reference/models_embed.py:16-471) as a pure flax module.
+
+Pipeline per query point:
+  world xyz -> canonical [0,1]^3 (bounding-box normalize)
+            -> trilinear sample of the PerceiverIO voxel feature grid
+               (the `latent`, d_latent channels)
+  canonical xyz -> sinusoidal positional code (6 freqs, factor 1.5,
+                   include_input -> 39 dims), concat raw viewdirs (3)
+  [latent, code, viewdirs] -> ResnetFC (5 blocks, d_hidden 512, latent
+                   injected per block, combine at 3)
+  -> [sigmoid(rgb), relu(sigma), embed(d_embed)]
+
+Functional redesign: `encode` is not stateful — the voxel grid is an
+explicit argument, so the whole render step jits as one graph.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from real_robot_nerf_actor_tpu.ops.grid_sample import sample_in_canonical_voxel
+from real_robot_nerf_actor_tpu.ops.rays import (
+    PositionalEncodingSpec, positional_encoding)
+from real_robot_nerf_actor_tpu.models.resnetfc import ResnetFC
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfFieldConfig:
+    d_latent: int = 64          # voxel feature channels
+    d_embed: int = 512          # distilled foundation-feature channels
+    d_hidden: int = 512
+    n_blocks: int = 5
+    combine_layer: int = 3
+    use_viewdirs: bool = True
+    use_code: bool = True
+    num_freqs: int = 6
+    freq_factor: float = 1.5
+    regress_coord: bool = False
+    regress_attention: bool = False
+    coord_bounds: Tuple[float, ...] = (-0.1, -0.3, -0.2, 0.8, 0.7, 0.7)
+
+    @property
+    def d_in(self) -> int:
+        d = 3
+        if self.use_code:
+            d = PositionalEncodingSpec(self.num_freqs, 3, self.freq_factor, True).d_out
+        if self.use_viewdirs:
+            d += 3
+        return d
+
+    @property
+    def d_out(self) -> int:
+        d = 4 + self.d_embed
+        if self.regress_coord:
+            d += 3
+        if self.regress_attention:
+            d += 6
+        return d
+
+
+class VoxelNerfField(nn.Module):
+    cfg: NerfFieldConfig
+    share_mlp: bool = True
+
+    def setup(self):
+        c = self.cfg
+        self.mlp_coarse = ResnetFC(
+            d_out=c.d_out, n_blocks=c.n_blocks, d_latent=c.d_latent,
+            d_hidden=c.d_hidden, combine_layer=c.combine_layer)
+        if not self.share_mlp:
+            self.mlp_fine = ResnetFC(
+                d_out=c.d_out, n_blocks=c.n_blocks, d_latent=c.d_latent,
+                d_hidden=c.d_hidden, combine_layer=c.combine_layer)
+
+    def world_to_canonical(self, xyz: jnp.ndarray) -> jnp.ndarray:
+        bounds = jnp.asarray(self.cfg.coord_bounds, dtype=xyz.dtype)
+        bb_min, bb_max = bounds[:3], bounds[3:]
+        return (xyz - bb_min) / (bb_max - bb_min)
+
+    def __call__(self, voxel_feat: jnp.ndarray, xyz: jnp.ndarray,
+                 viewdirs: Optional[jnp.ndarray] = None, coarse: bool = True,
+                 ret_last_feat: bool = False):
+        """voxel_feat: (SB, V, V, V, d_latent) channel-last feature grid.
+        xyz: (SB, B, 3) world points; viewdirs: (SB, B, 3).
+        Returns dict with rgb (SB,B,3), sigma (SB,B), embed (SB,B,d_embed)
+        [, coord_residual, attention, last_feat]."""
+        c = self.cfg
+        sb, b, _ = xyz.shape
+        canon = self.world_to_canonical(xyz)
+        canon = jax.lax.stop_gradient(canon)
+
+        latent = sample_in_canonical_voxel(voxel_feat, canon)  # (SB, B, dl)
+
+        feat = canon
+        if c.use_code:
+            spec = PositionalEncodingSpec(c.num_freqs, 3, c.freq_factor, True)
+            feat = positional_encoding(canon, spec)
+        if c.use_viewdirs:
+            assert viewdirs is not None
+            feat = jnp.concatenate([feat, viewdirs], axis=-1)
+
+        mlp_in = jnp.concatenate([latent, feat], axis=-1).reshape(sb * b, -1)
+        mlp = self.mlp_coarse if (coarse or self.share_mlp) else self.mlp_fine
+        out, last = mlp(mlp_in, ret_last_feat=False)
+        out = out.reshape(sb, b, c.d_out)
+
+        res = {
+            "rgb": jax.nn.sigmoid(out[..., :3]),
+            "sigma": jax.nn.relu(out[..., 3]),
+        }
+        rest = out[..., 4:]
+        if c.regress_coord and c.regress_attention:
+            res["embed"] = rest[..., :-9]
+            res["coord_residual"] = rest[..., -9:-6] - canon
+            res["attention"] = rest[..., -6:]
+        elif c.regress_coord:
+            res["embed"] = rest[..., :-3]
+            res["coord_residual"] = rest[..., -3:] - canon
+        elif c.regress_attention:
+            res["embed"] = rest[..., :-6]
+            res["attention"] = rest[..., -6:]
+        else:
+            res["embed"] = rest
+        if ret_last_feat:
+            res["last_feat"] = last.reshape(sb, b, -1)
+        return res

@@ -1,0 +1,234 @@
+"""PerceiverIO language-conditioned voxel Q-network (flax).
+
+Reference architecture (/root/reference/train_peract_single_kitchen_single_task.py:393-656
+and the nerfact variant train_nerfact_multi_kitchen.py:570-772):
+
+  voxel grid (B, 100^3, 10ch channel-last)
+    -> input preprocess: 1x1x1 conv (peract) or 3-level UNet (nerfact) -> 64ch  [d0]
+    -> patchify 5^3 stride-5 conv -> (B, 20^3, 64)
+    -> concat broadcast proprio embedding (Dense 7->64) -> 128ch
+    -> flatten to 8000 tokens; prepend 77 language tokens (Dense 512->128)
+    -> + learned positional embedding (8077, 128)
+    -> 1x cross-attention into `num_latents` latents (latent_dim 512)
+    -> depth x self-attention (8 heads, 64 dim/head) with pre-LN residuals
+    -> decoder cross-attention back to the 8077 tokens -> drop language
+    -> reshape (20^3, 128) -> conv-upsample x5 -> skip-concat with d0
+    -> trans head: 3^3 conv -> (B, 100^3) Q_trans
+    -> rot/grip/collision head: [spatial-softmax + global-max feats of
+       d0 / decoded latents / final] -> MLP -> (B, 3*72+2+2)
+
+TPU-first redesign:
+  - channel-last NDHWC everywhere; patchify as reshape+matmul (pure MXU)
+  - attention is jnp.einsum with fp32 softmax; a Pallas flash-attention
+    kernel covers the 2048x8077 cross-attention (ops/attention_pallas)
+  - dropout omitted by default (reference uses 0.1 on attention; exposed
+    via `dropout_rate` and `deterministic`)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from real_robot_nerf_actor_tpu.models.blocks import (
+    Conv3DBlock, Conv3DUpsampleBlock, DenseBlock, MultiLayer3DEncoderShallow,
+    PatchifyConv3D)
+from real_robot_nerf_actor_tpu.ops.spatial_softmax import spatial_softmax_3d
+
+
+@dataclasses.dataclass(frozen=True)
+class PerceiverConfig:
+    depth: int = 6
+    voxel_size: int = 100
+    initial_dim: int = 10
+    low_dim_size: int = 7           # proprio dims (trans idx 3 + rot 3 + grip 1)
+    num_rotation_classes: int = 72
+    num_grip_classes: int = 2
+    num_collision_classes: int = 2
+    num_latents: int = 2048
+    latent_dim: int = 512
+    im_channels: int = 64
+    cross_heads: int = 1
+    latent_heads: int = 8
+    cross_dim_head: int = 64
+    latent_dim_head: int = 64
+    voxel_patch_size: int = 5
+    final_dim: int = 64
+    lang_emb_dim: int = 512
+    lang_max_seq_len: int = 77
+    activation: str = "lrelu"
+    input_encoder: str = "conv1"    # "conv1" (peract) | "unet" (nerfact)
+    return_voxel_feat: bool = False  # nerfact variant returns d0
+    dropout_rate: float = 0.0
+
+    @property
+    def spatial_size(self) -> int:
+        return self.voxel_size // self.voxel_patch_size
+
+    @property
+    def input_dim_before_seq(self) -> int:
+        return self.im_channels * 2
+
+
+class MHAttention(nn.Module):
+    """Multi-head attention with separate context (cross) or self mode.
+
+    q projects from query_dim, kv from context_dim; inner = heads*dim_head;
+    output projects back to query_dim. Softmax in fp32.
+    """
+
+    heads: int
+    dim_head: int
+    out_dim: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, context=None, deterministic: bool = True):
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def split_heads(t):
+            b, n, _ = t.shape
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = map(split_heads, (q, k, v))
+        scale = self.dim_head ** -0.5
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                         preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
+        if self.dropout_rate > 0:
+            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], inner)
+        return nn.Dense(self.out_dim, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * self.mult * 2)(x)
+        h, gates = jnp.split(h, 2, axis=-1)
+        return nn.Dense(self.dim)(h * jax.nn.gelu(gates))
+
+
+class PreNormAttn(nn.Module):
+    heads: int
+    dim_head: int
+    out_dim: int
+    cross: bool = False
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, context=None, deterministic: bool = True):
+        xn = nn.LayerNorm()(x)
+        cn = nn.LayerNorm(name="norm_context")(context) if self.cross else None
+        return MHAttention(self.heads, self.dim_head, self.out_dim,
+                           self.dropout_rate)(xn, cn, deterministic)
+
+
+class PreNormFF(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return GEGLUFeedForward(self.dim)(nn.LayerNorm()(x))
+
+
+class PerceiverIO(nn.Module):
+    cfg: PerceiverConfig
+
+    @nn.compact
+    def __call__(self, voxel_grid: jnp.ndarray, proprio: jnp.ndarray,
+                 lang_goal_embs: jnp.ndarray, train: bool = False,
+                 deterministic: bool = True):
+        """voxel_grid: (B, V, V, V, initial_dim) channel-last.
+        proprio: (B, low_dim_size). lang_goal_embs: (B, 77, lang_emb_dim).
+        Returns (q_trans (B,V,V,V), q_rot_grip (B,3R+2), q_collision (B,2)
+        [, voxel_feat (B,V,V,V,im_channels)])."""
+        c = self.cfg
+        b = voxel_grid.shape[0]
+        v = c.voxel_size
+        s = c.spatial_size
+
+        # ---- input preprocess -> d0
+        if c.input_encoder == "unet":
+            d0 = MultiLayer3DEncoderShallow(c.im_channels, name="encoder_3d")(
+                voxel_grid, train=train)
+        else:
+            d0 = Conv3DBlock(c.im_channels, 1, 1, c.activation,
+                             name="input_preprocess")(voxel_grid)
+
+        feats = [spatial_softmax_3d(d0), jnp.max(d0, axis=(1, 2, 3))]
+
+        # ---- patchify + proprio + language sequence
+        ins = PatchifyConv3D(c.im_channels, c.voxel_patch_size, c.activation,
+                             name="patchify")(d0)          # (B, s,s,s, 64)
+        p = DenseBlock(c.im_channels, c.activation, name="proprio_preprocess")(proprio)
+        p = jnp.broadcast_to(p[:, None, None, None, :], ins.shape[:-1] + (c.im_channels,))
+        ins = jnp.concatenate([ins, p], axis=-1)            # (B, s,s,s, 128)
+        ins = ins.reshape(b, s ** 3, c.input_dim_before_seq)
+
+        lang = nn.Dense(c.input_dim_before_seq, name="lang_preprocess")(lang_goal_embs)
+        seq = jnp.concatenate([lang, ins], axis=1)          # (B, 77+s^3, 128)
+
+        pos_emb = self.param(
+            "pos_encoding", nn.initializers.normal(1.0),
+            (1, c.lang_max_seq_len + s ** 3, c.input_dim_before_seq))
+        seq = seq + pos_emb
+
+        # ---- perceiver core
+        latents = self.param("latents", nn.initializers.normal(1.0),
+                             (c.num_latents, c.latent_dim))
+        x = jnp.broadcast_to(latents[None], (b,) + latents.shape)
+
+        x = PreNormAttn(c.cross_heads, c.cross_dim_head, c.latent_dim,
+                        cross=True, dropout_rate=c.dropout_rate,
+                        name="cross_attend")(x, seq, deterministic) + x
+        x = PreNormFF(c.latent_dim, name="cross_ff")(x) + x
+
+        for i in range(c.depth):
+            x = PreNormAttn(c.latent_heads, c.latent_dim_head, c.latent_dim,
+                            dropout_rate=c.dropout_rate,
+                            name=f"self_attn_{i}")(x, None, deterministic) + x
+            x = PreNormFF(c.latent_dim, name=f"self_ff_{i}")(x) + x
+
+        # ---- decoder cross attention back to the token sequence
+        dec = PreNormAttn(c.cross_heads, c.cross_dim_head,
+                          c.input_dim_before_seq, cross=True,
+                          name="decoder_cross_attn")(seq, x, deterministic)
+        dec = dec[:, c.lang_max_seq_len:]                  # drop language tokens
+        dec = dec.reshape(b, s, s, s, c.input_dim_before_seq)
+
+        feats.extend([spatial_softmax_3d(dec), jnp.max(dec, axis=(1, 2, 3))])
+
+        # ---- upsample + UNet-style skip + heads
+        u0 = Conv3DUpsampleBlock(c.final_dim, c.voxel_patch_size,
+                                 c.voxel_patch_size, c.activation,
+                                 name="up0")(dec)           # (B, V,V,V, 64)
+        u = Conv3DBlock(c.im_channels, 3, 1, c.activation, name="final")(
+            jnp.concatenate([d0, u0], axis=-1))
+        q_trans = Conv3DBlock(1, 3, 1, None, name="trans_decoder")(u)[..., 0]
+
+        feats.extend([spatial_softmax_3d(u), jnp.max(u, axis=(1, 2, 3))])
+
+        h = DenseBlock(256, c.activation, name="dense0")(
+            jnp.concatenate(feats, axis=-1))
+        h = DenseBlock(c.final_dim, c.activation, name="dense1")(h)
+        rgc = DenseBlock(c.num_rotation_classes * 3 + c.num_grip_classes
+                         + c.num_collision_classes, None,
+                         name="rot_grip_collision_ff")(h)
+        q_rot_grip = rgc[:, : -c.num_collision_classes]
+        q_collision = rgc[:, -c.num_collision_classes:]
+
+        if c.return_voxel_feat:
+            return q_trans, q_rot_grip, q_collision, d0
+        return q_trans, q_rot_grip, q_collision

@@ -1,0 +1,77 @@
+"""Fully-connected ResNet NeRF MLP (flax).
+
+Reference behavior (/root/reference/resnetfc.py:12-209):
+  - lin_in: d_in -> d_hidden (kaiming fan_in), lin_out: d_hidden -> d_out
+  - n_blocks residual blocks: fc0(act(x)) -> fc1(act(.)) with fc1
+    zero-initialized; shortcut identity when sizes match
+  - per-block latent injection x += lin_z[i](z) for blocks before
+    combine_layer; at combine_layer the multiview axis is reduced
+    (average/max)
+  - activation ReLU (beta=0 path)
+
+TPU notes: points arrive as (..., d_latent + d_in) in one big batch — every
+layer is a single [N, 512] x [512, 512] matmul on the MXU. No chunking.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+_kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class ResnetBlockFC(nn.Module):
+    size_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(min(x.shape[-1], self.size_out), kernel_init=_kaiming)(
+            nn.relu(x))
+        dx = nn.Dense(self.size_out, kernel_init=nn.initializers.zeros)(
+            nn.relu(h))
+        if x.shape[-1] != self.size_out:
+            x = nn.Dense(self.size_out, use_bias=False, kernel_init=_kaiming)(x)
+        return x + dx
+
+
+class ResnetFC(nn.Module):
+    d_out: int = 4
+    n_blocks: int = 5
+    d_latent: int = 0
+    d_hidden: int = 512
+    combine_layer: int = 1000
+    combine_type: str = "average"
+
+    @nn.compact
+    def __call__(self, zx: jnp.ndarray, num_views: int = 1,
+                 ret_last_feat: bool = False):
+        """zx: (..., d_latent + d_in). If num_views > 1 the leading axis must
+        be divisible by num_views and is reduced at combine_layer.
+        Returns (out, last_hidden); out (..., d_out)."""
+        if self.d_latent > 0:
+            z = zx[..., : self.d_latent]
+            x = zx[..., self.d_latent:]
+        else:
+            z = None
+            x = zx
+        x = nn.Dense(self.d_hidden, kernel_init=_kaiming)(x)
+
+        for blkid in range(self.n_blocks):
+            if blkid == self.combine_layer and num_views > 1:
+                s = x.shape
+                x = x.reshape(-1, num_views, *s[1:])
+                x = (jnp.mean(x, axis=1) if self.combine_type == "average"
+                     else jnp.max(x, axis=1))
+                if z is not None:
+                    z = None  # latent already consumed before combine
+            if z is not None and blkid < self.combine_layer:
+                x = x + nn.Dense(self.d_hidden, kernel_init=_kaiming,
+                                 name=f"lin_z_{blkid}")(z)
+            x = ResnetBlockFC(self.d_hidden)(x)
+
+        out = nn.Dense(self.d_out, kernel_init=_kaiming)(nn.relu(x))
+        if ret_last_feat:
+            return jnp.concatenate([out, x], axis=-1), x
+        return out, x

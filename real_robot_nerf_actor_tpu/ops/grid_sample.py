@@ -1,0 +1,87 @@
+"""Trilinear voxel-grid sampling (torch grid_sample align_corners=True
+semantics) on channel-last grids.
+
+Reference behavior: /root/reference/models_embed.py:259-293
+(`sample_in_canonical_voxel`): canonical xyz in [0,1] -> [-1,1] -> trilinear
+sample of the PerceiverIO voxel feature grid with align_corners=True and
+zero padding.
+
+TPU design: a single vectorized gather of the 8 corner cells + fused lerp.
+The gather indexes a flattened (V^3, C) array so XLA emits one gather per
+corner; channels stay in the minor-most (lane) dimension.
+
+Torch convention note: for 5-D inputs grid_sample's last-dim coordinate
+order is (x, y, z) where x indexes the *innermost* (W) axis. The reference
+passes xyz coordinates against a voxel grid laid out as (X, Y, Z) spatial
+axes, so its `x` indexes the Z axis of the grid. We mirror that exactly:
+`coords[..., 0]` indexes grid axis 2 (last spatial), `coords[..., 2]` axis 0.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample_3d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample with align_corners=True, zeros padding.
+
+    grid:   (B, D, H, W, C) channel-last voxel grid.
+    coords: (B, N, 3) in [-1, 1], ordered (x, y, z) with x indexing W (the
+            last spatial axis), matching torch.nn.functional.grid_sample.
+    Returns (B, N, C).
+    """
+    b, d, h, w, c = grid.shape
+    # unnormalize: align_corners=True maps -1 -> 0 and 1 -> size-1
+    x = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+    z = (coords[..., 2] + 1.0) * 0.5 * (d - 1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    tx = x - x0
+    ty = y - y0
+    tz = z - z0
+
+    def corner(zi, yi, xi):
+        """Gather grid[b, zi, yi, xi, :] with zero padding out of range."""
+        inb = ((zi >= 0) & (zi < d) & (yi >= 0) & (yi < h)
+               & (xi >= 0) & (xi < w))
+        zi_c = jnp.clip(zi, 0, d - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        flat = (zi_c * h + yi_c) * w + xi_c  # (B, N)
+        vals = jnp.take_along_axis(
+            grid.reshape(b, d * h * w, c), flat[..., None], axis=1)
+        return vals * inb[..., None].astype(grid.dtype)
+
+    z0i, y0i, x0i = z0.astype(jnp.int32), y0.astype(jnp.int32), x0.astype(jnp.int32)
+    c000 = corner(z0i, y0i, x0i)
+    c001 = corner(z0i, y0i, x0i + 1)
+    c010 = corner(z0i, y0i + 1, x0i)
+    c011 = corner(z0i, y0i + 1, x0i + 1)
+    c100 = corner(z0i + 1, y0i, x0i)
+    c101 = corner(z0i + 1, y0i, x0i + 1)
+    c110 = corner(z0i + 1, y0i + 1, x0i)
+    c111 = corner(z0i + 1, y0i + 1, x0i + 1)
+
+    tx = tx[..., None].astype(grid.dtype)
+    ty = ty[..., None].astype(grid.dtype)
+    tz = tz[..., None].astype(grid.dtype)
+    c00 = c000 * (1 - tx) + c001 * tx
+    c01 = c010 * (1 - tx) + c011 * tx
+    c10 = c100 * (1 - tx) + c101 * tx
+    c11 = c110 * (1 - tx) + c111 * tx
+    c0 = c00 * (1 - ty) + c01 * ty
+    c1 = c10 * (1 - ty) + c11 * ty
+    return c0 * (1 - tz) + c1 * tz
+
+
+def sample_in_canonical_voxel(voxel_feat: jnp.ndarray, canon_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Sample a channel-last voxel feature grid at canonical [0,1]^3 points.
+
+    voxel_feat: (B, V, V, V, C); canon_xyz: (B, N, 3) in [0, 1].
+    Returns (B, N, C). Mirrors models_embed.py:259-293 (coords scaled to
+    [-1,1], torch xyz/W-axis convention preserved).
+    """
+    coords = canon_xyz * 2.0 - 1.0
+    return grid_sample_3d(voxel_feat, coords)

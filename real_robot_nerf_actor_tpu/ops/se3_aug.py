@@ -1,0 +1,55 @@
+"""SE(3) (translation-only, matching the reference's enabled path) data
+augmentation for keyframe BC, redesigned rejection-free for jit.
+
+Reference behavior (/root/reference/train_peract_single_kitchen_single_task.py:153-338):
+  sample a bounded random translation of the point cloud + keyframe actions
+  about the gripper origin, retrying up to 100x until every discretized
+  action stays inside the voxel grid. Rotation augmentation is disabled in
+  the reference (identity rot_shift), and the same shift is shared between
+  the current and next keyframes.
+
+TPU redesign: instead of the data-dependent retry loop we clamp the sampled
+shift so that every keyframe action lands inside the bounds by construction
+(same truncated distribution support, no rejection, fully jittable).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from real_robot_nerf_actor_tpu.ops.geometry import point_to_voxel_index
+
+
+class Se3AugOut(NamedTuple):
+    pcd: jnp.ndarray           # (B, N, 3) shifted point cloud
+    action_trans: jnp.ndarray  # (K, 3) int32 perturbed voxel indices (per keyframe)
+    shift: jnp.ndarray         # (3,) the applied metric shift
+
+
+def apply_se3_augmentation(key: jax.Array, pcd: jnp.ndarray,
+                           keyframe_xyz: jnp.ndarray, coord_bounds: jnp.ndarray,
+                           trans_aug_range: jnp.ndarray, voxel_size: int) -> Se3AugOut:
+    """Shared bounded translation of the point cloud and K keyframe actions.
+
+    pcd: (B, N, 3); keyframe_xyz: (K, 3) metric action positions (e.g.
+    current + next keyframe); coord_bounds: (6,); trans_aug_range: (3,)
+    fractional ranges of the scene extent.
+    """
+    bb_min = coord_bounds[0:3]
+    bb_max = coord_bounds[3:6]
+    trans_range = (bb_max - bb_min) * trans_aug_range
+    u = jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0, dtype=pcd.dtype)
+    shift = trans_range * u
+
+    # clamp so every perturbed keyframe action stays in bounds:
+    # shift in [max_k(bb_min - xyz_k), min_k(bb_max - xyz_k)]
+    eps = (bb_max - bb_min) * 1e-6
+    lo = jnp.max(bb_min[None] - keyframe_xyz, axis=0)
+    hi = jnp.min(bb_max[None] - keyframe_xyz, axis=0) - eps
+    shift = jnp.clip(shift, lo, hi)
+
+    perturbed_xyz = keyframe_xyz + shift[None]
+    action_trans = point_to_voxel_index(perturbed_xyz, voxel_size, coord_bounds)
+    return Se3AugOut(pcd=pcd + shift[None, None], action_trans=action_trans, shift=shift)

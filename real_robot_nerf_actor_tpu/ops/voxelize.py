@@ -1,0 +1,101 @@
+"""Point-cloud -> bounded feature voxel grid (scatter-mean), TPU-native.
+
+Reference behavior (/root/reference/voxel_grid_real.py:15-297):
+  - grid of (voxel_size+2)^3 cells; points are binned with a one-voxel edge
+    shift so out-of-bound points land in the border cells, which are cropped
+    away afterwards (the "+2 edge crop" trick)
+  - each point scatters [xyz, features..., 1] and the grid stores the
+    per-voxel mean; the trailing mean-of-ones is binarized into occupancy
+  - the normalized voxel index grid (3 channels) is inserted before the
+    occupancy channel
+  Output layout (channel-last): [mean xyz (3), mean feat (F), index/vox (3),
+  occupancy (1)] = 7+F channels (10 for RGB).
+
+TPU design: instead of torch scatter_add_ over a flat buffer we compute one
+flat segment id per point and use jax.ops.segment_sum (XLA lowers this to a
+sorted segmented reduction) over a static (voxel_size+2)^3 segment space.
+Shapes are fully static: callers pad the point dimension to max_num_coords
+and pass a validity mask. Invalid points scatter zeros into cell 0 (a border
+cell that is cropped), so no branching is needed.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelizerSpec:
+    voxel_size: int = 100
+    feature_size: int = 3
+    max_num_coords: int = 220000
+
+    @property
+    def out_channels(self) -> int:
+        # xyz + features + index coords + occupancy
+        return 3 + self.feature_size + 3 + 1
+
+
+def _index_grid(voxel_size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(V, V, V, 3) normalized voxel index coordinates, index/voxel_size."""
+    ar = jnp.arange(voxel_size, dtype=dtype)
+    gx, gy, gz = jnp.meshgrid(ar, ar, ar, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1) / float(voxel_size)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def voxelize(coords: jnp.ndarray, features: jnp.ndarray, coord_bounds: jnp.ndarray,
+             spec: VoxelizerSpec, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Scatter-mean voxelization.
+
+    coords:  (B, N, 3) metric points (N static; pad to spec.max_num_coords).
+    features: (B, N, F) per-point features (e.g. RGB in [-1, 1]).
+    coord_bounds: (B, 6) or (6,) [min_xyz, max_xyz].
+    valid: optional (B, N) bool; padding points must be False.
+    Returns (B, V, V, V, 7+F) channel-last feature voxel grid.
+    """
+    b, n, _ = coords.shape
+    v = spec.voxel_size
+    vp = v + 2  # padded grid with border cells
+    if coord_bounds.ndim == 1:
+        coord_bounds = jnp.broadcast_to(coord_bounds[None], (b, 6))
+    bb_min = coord_bounds[:, None, 0:3]
+    bb_max = coord_bounds[:, None, 3:6]
+    res = (bb_max - bb_min) / (float(v) + _EPS)
+    # shift down by one voxel so that index 0 is the low border cell
+    shifted_min = bb_min - res
+    idx = jnp.floor((coords - shifted_min) / (res + _EPS)).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, vp - 1)
+
+    if valid is None:
+        valid_f = jnp.ones((b, n, 1), dtype=coords.dtype)
+    else:
+        valid_f = valid[..., None].astype(coords.dtype)
+        # route invalid points to cell (0,0,0): it is cropped away below
+        idx = jnp.where(valid[..., None], idx, 0)
+
+    flat_idx = (idx[..., 0] * vp + idx[..., 1]) * vp + idx[..., 2]  # (B, N)
+    values = jnp.concatenate([coords, features, jnp.ones_like(valid_f)], axis=-1)
+    values = values * valid_f  # zero contribution from padding
+
+    num_segments = vp * vp * vp
+
+    def scatter_one(flat_idx_b, values_b, count_b):
+        sums = jax.ops.segment_sum(values_b, flat_idx_b, num_segments=num_segments)
+        counts = jax.ops.segment_sum(count_b, flat_idx_b, num_segments=num_segments)
+        return sums, counts
+
+    sums, counts = jax.vmap(scatter_one)(flat_idx, values, valid_f)
+    counts = jnp.maximum(counts, 1.0)
+    grid = (sums / counts).reshape(b, vp, vp, vp, -1)
+
+    vox = grid[:, 1:-1, 1:-1, 1:-1]  # crop border cells
+    occupied = (vox[..., -1:] > 0).astype(coords.dtype)
+    index_coords = jnp.broadcast_to(
+        _index_grid(v, coords.dtype)[None], (b, v, v, v, 3))
+    return jnp.concatenate([vox[..., :-1], index_coords, occupied], axis=-1)

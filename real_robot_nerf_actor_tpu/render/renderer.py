@@ -1,0 +1,204 @@
+"""Neural volume renderer over a voxel feature field.
+
+Reference behavior: /root/reference/neural_rendering.py:86-711
+(NeuralRenderer): coarse stratified pass -> importance + depth-guided fine
+pass over the sorted union of samples -> alpha compositing of
+rgb/embed/depth; rendering loss = MSE(rgb, coarse+fine)
++ lambda_embed * MSE(embed) + lambda_depth * masked MSE(depth); full-image
+render in ray chunks.
+
+TPU redesign:
+  - the renderer is a pure function of (params, voxel_feat, rays, rng):
+    the reference's stateful encode() becomes an explicit argument
+  - no Python point-chunk loops: each pass evaluates all rays x samples in
+    one batched MLP call (pure MXU work); full-image rendering uses
+    lax.map over fixed-size ray tiles to bound memory
+  - rays can be sharded over the mesh 'data' axis by the caller; everything
+    here is shard-transparent (no cross-ray dependencies)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from real_robot_nerf_actor_tpu.models.nerf_field import (
+    NerfFieldConfig, VoxelNerfField)
+from real_robot_nerf_actor_tpu.ops.compositing import CompositeOut, composite
+from real_robot_nerf_actor_tpu.ops.rays import gen_rays
+from real_robot_nerf_actor_tpu.ops.sampling import (
+    sample_coarse, sample_fine, sample_fine_depth)
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    mse = jnp.mean((pred - gt) ** 2)
+    return 20.0 * jnp.log10(max_val / jnp.sqrt(mse + 1e-20))
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererConfig:
+    image_width: int = 128
+    image_height: int = 128
+    z_near: float = 1.2
+    z_far: float = 4.0
+    n_coarse: int = 64
+    n_fine: int = 32
+    n_fine_depth: int = 16
+    depth_std: float = 0.001
+    noise_std: float = 0.0
+    white_bkgd: bool = False
+    lindisp: bool = False
+    ray_chunk_size: int = 512       # rays sampled per training step
+    render_tile: int = 4096         # rays per tile in full-image render
+    lambda_embed: float = 0.01
+    lambda_depth: float = 0.0
+    field: NerfFieldConfig = dataclasses.field(default_factory=NerfFieldConfig)
+
+    @property
+    def using_fine(self) -> bool:
+        return self.n_fine > 0
+
+
+class NeuralRenderer:
+    """Functional renderer: holds configs + the flax field definition; all
+    state (params, voxel features) is passed explicitly."""
+
+    def __init__(self, cfg: RendererConfig):
+        self.cfg = cfg
+        self.field = VoxelNerfField(cfg.field)
+
+    def init_params(self, key):
+        vox = jnp.zeros((1, 2, 2, 2, self.cfg.field.d_latent))
+        xyz = jnp.zeros((1, 4, 3))
+        dirs = jnp.zeros((1, 4, 3))
+        return self.field.init(key, vox, xyz, dirs)
+
+    # ------------------------------------------------------------------ core
+    def _eval_pass(self, params, voxel_feat, rays, z_samp, coarse, key):
+        """Evaluate the field at (rays x z_samp) and composite.
+
+        rays: (R, 8); z_samp: (R, K); voxel_feat: (1, V,V,V, C).
+        """
+        r, k = z_samp.shape
+        pts = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
+        dirs = jnp.broadcast_to(rays[:, None, 3:6], pts.shape)
+        out = self.field.apply(
+            params, voxel_feat, pts.reshape(1, r * k, 3),
+            dirs.reshape(1, r * k, 3), coarse=coarse)
+        rgbs = out["rgb"].reshape(r, k, 3)
+        sigmas = out["sigma"].reshape(r, k)
+        embeds = out["embed"].reshape(r, k, -1)
+        if self.cfg.noise_std > 0.0 and key is not None:
+            sigmas = sigmas + jax.random.normal(key, sigmas.shape) * self.cfg.noise_std
+        return composite(z_samp, rays, rgbs, sigmas, embeds,
+                         white_bkgd=self.cfg.white_bkgd)
+
+    def render_rays(self, params, voxel_feat, rays, key) -> dict:
+        """Full coarse+fine render of a flat ray batch.
+
+        rays: (R, 8). Returns {'coarse': CompositeOut, 'fine': CompositeOut}.
+        """
+        c = self.cfg
+        k_coarse, k_fine, k_fdepth, k_n1, k_n2 = jax.random.split(key, 5)
+        z_coarse = sample_coarse(k_coarse, rays, c.n_coarse, c.lindisp)
+        coarse = self._eval_pass(params, voxel_feat, rays, z_coarse, True, k_n1)
+        out = {"coarse": coarse}
+        if c.using_fine:
+            samps = [z_coarse]
+            if c.n_fine - c.n_fine_depth > 0:
+                samps.append(sample_fine(k_fine, rays, coarse.weights,
+                                         c.n_fine - c.n_fine_depth,
+                                         c.n_coarse, c.lindisp))
+            if c.n_fine_depth > 0:
+                samps.append(sample_fine_depth(
+                    k_fdepth, rays, jax.lax.stop_gradient(coarse.depth),
+                    c.n_fine_depth, c.depth_std))
+            z_all = jnp.sort(jnp.concatenate(samps, axis=-1), axis=-1)
+            out["fine"] = self._eval_pass(params, voxel_feat, rays, z_all,
+                                          False, k_n2)
+        return out
+
+    # ------------------------------------------------------------- full image
+    def render_image(self, params, voxel_feat, tgt_pose, focal, key,
+                     c_principal=None):
+        """Render a full (H, W) image by tiling rays (lax.map bounds memory).
+
+        tgt_pose: (1, 4, 4). Returns (rgb (H,W,3), embed (H,W,D), depth (H,W)).
+        """
+        cfg = self.cfg
+        h, w = cfg.image_height, cfg.image_width
+        rays = gen_rays(tgt_pose, w, h, focal, cfg.z_near, cfg.z_far,
+                        c=c_principal).reshape(-1, 8)
+        n = rays.shape[0]
+        tile = min(cfg.render_tile, n)
+        n_pad = (-n) % tile
+        rays_p = jnp.concatenate([rays, jnp.zeros((n_pad, 8), rays.dtype)
+                                  .at[:, 6].set(cfg.z_near)
+                                  .at[:, 7].set(cfg.z_far)], 0)
+        tiles = rays_p.reshape(-1, tile, 8)
+        keys = jax.random.split(key, tiles.shape[0])
+
+        def one_tile(args):
+            rr, kk = args
+            o = self.render_rays(params, voxel_feat, rr, kk)
+            f = o.get("fine", o["coarse"])
+            return f.rgb, f.embed, f.depth
+
+        rgb, embed, depth = jax.lax.map(one_tile, (tiles, keys))
+        rgb = rgb.reshape(-1, 3)[:n].reshape(h, w, 3)
+        embed = embed.reshape(-1, embed.shape[-1])[:n].reshape(h, w, -1)
+        depth = depth.reshape(-1)[:n].reshape(h, w)
+        return rgb, embed, depth
+
+    # ------------------------------------------------------------------ loss
+    def rendering_loss(self, params, voxel_feat, gt_rgb, gt_pose, focal, key,
+                       gt_embed=None, gt_depth=None, c_principal=None):
+        """Sampled-ray rendering loss (compute_rendering_loss parity).
+
+        gt_rgb: (1, H, W, 3) in [0, 1]; gt_pose: (1, 4, 4);
+        gt_embed: (1, H, W, D) precomputed foundation features (the teacher
+        runs offline — see data/teachers.py); gt_depth: (1, H, W) optional.
+        Returns (loss, metrics dict).
+        """
+        cfg = self.cfg
+        h, w = cfg.image_height, cfg.image_width
+        k_sel, k_render = jax.random.split(key)
+        rays = gen_rays(gt_pose, w, h, focal, cfg.z_near, cfg.z_far,
+                        c=c_principal).reshape(-1, 8)
+        ray_idx = jax.random.randint(k_sel, (cfg.ray_chunk_size,), 0, h * w)
+        sel_rays = rays[ray_idx]
+        out = self.render_rays(params, voxel_feat, sel_rays, k_render)
+
+        gt_rgb_sel = gt_rgb.reshape(-1, 3)[ray_idx]
+        coarse, fine = out["coarse"], out.get("fine", out["coarse"])
+        loss_rgb_c = jnp.mean((coarse.rgb - gt_rgb_sel) ** 2)
+        loss_rgb_f = jnp.mean((fine.rgb - gt_rgb_sel) ** 2)
+        loss = loss_rgb_c + loss_rgb_f
+        metrics = {
+            "loss_rgb_coarse": loss_rgb_c,
+            "loss_rgb_fine": loss_rgb_f,
+            "psnr": psnr(fine.rgb, gt_rgb_sel),
+        }
+        if gt_embed is not None:
+            gt_e = gt_embed.reshape(-1, gt_embed.shape[-1])[ray_idx]
+            loss_e_c = cfg.lambda_embed * jnp.mean((coarse.embed - gt_e) ** 2)
+            loss_e_f = cfg.lambda_embed * jnp.mean((fine.embed - gt_e) ** 2)
+            loss = loss + loss_e_c + loss_e_f
+            metrics["loss_embed_coarse"] = loss_e_c
+            metrics["loss_embed_fine"] = loss_e_f
+        if gt_depth is not None and cfg.lambda_depth > 0:
+            gt_d = gt_depth.reshape(-1)[ray_idx]
+            mask = (gt_d < cfg.z_far).astype(gt_d.dtype)
+            denom = jnp.maximum(mask.sum(), 1.0)
+            loss_d_c = cfg.lambda_depth * jnp.sum(
+                mask * (coarse.depth - gt_d) ** 2) / denom
+            loss_d_f = cfg.lambda_depth * jnp.sum(
+                mask * (fine.depth - gt_d) ** 2) / denom
+            loss = loss + loss_d_c + loss_d_f
+            metrics["loss_depth_coarse"] = loss_d_c
+            metrics["loss_depth_fine"] = loss_d_f
+        metrics["loss_render"] = loss
+        return loss, metrics

@@ -1,0 +1,172 @@
+"""NeRF-Actor joint training: PerAct BC loss + neural-rendering loss on the
+policy's voxel features.
+
+Reference behavior: /root/reference/train_nerfact_multi_kitchen.py:1256-1444:
+  voxelize -> PerceiverIO(unet encoder) -> (BC heads, voxel_feat d0)
+  -> NeuralRenderer.compute_rendering_loss(voxel_feat, gt view)
+  total = 1.0 * BC + lambda_nerf * render_loss  (lambda_nerf = 10)
+
+Foundation-model teachers (stable diffusion / dinov2) run OFFLINE: gt_embed
+arrives precomputed in the batch (the reference already supports this via
+its gt_embed argument, neural_rendering.py:631); the in-framework DINO ViT
+(models/vit.py) can generate them.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from real_robot_nerf_actor_tpu.models import PerceiverConfig
+from real_robot_nerf_actor_tpu.ops import voxelize, apply_se3_augmentation
+from real_robot_nerf_actor_tpu.ops.action_codec import DiscreteAction
+from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
+from real_robot_nerf_actor_tpu.train.peract import PerActConfig, PerActTrainer, bc_losses
+from real_robot_nerf_actor_tpu.train.trainer import TrainState, Trainer
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfActConfig:
+    peract: PerActConfig = dataclasses.field(default_factory=lambda: PerActConfig(
+        model=PerceiverConfig(input_encoder="unet", return_voxel_feat=True)))
+    renderer: RendererConfig = dataclasses.field(default_factory=RendererConfig)
+    lambda_bc: float = 1.0
+    lambda_nerf: float = 10.0
+
+
+class NerfActTrainer(PerActTrainer):
+    """PerAct trainer + joint rendering loss (shares data pipeline/state)."""
+
+    def __init__(self, cfg: NerfActConfig):
+        assert cfg.peract.model.return_voxel_feat, \
+            "nerfact needs the PerceiverIO voxel_feat output"
+        super().__init__(cfg.peract)
+        self.jcfg = cfg
+        self.renderer = NeuralRenderer(cfg.renderer)
+
+    def init_state(self, rng) -> TrainState:
+        k1, k2 = jax.random.split(rng)
+        state = super().init_state(k1)
+        nerf_params = self.renderer.init_params(k2)["params"]
+        params = {"policy": state.params, "nerf": nerf_params}
+        return TrainState(step=state.step, params=params,
+                          opt_state=self.tx.init(params), extra=state.extra)
+
+    def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """batch = PerAct batch plus:
+          gt_rgb (B,H,W,3), gt_pose (B,4,4), focal (B,), and optionally
+          gt_embed (B,H,W,D), gt_depth (B,H,W).
+        """
+        c = self.cfg          # PerActConfig
+        jc = self.jcfg
+
+        def loss_fn(params, extra):
+            k_aug, k_render = jax.random.split(rng)
+            b = batch["points"].shape[0]
+
+            def aug_one(key, pts, kf):
+                return apply_se3_augmentation(
+                    key, pts[None], kf, self.bounds,
+                    jnp.asarray(c.trans_aug_range), c.model.voxel_size)
+
+            keys = jax.random.split(k_aug, b)
+            aug = jax.vmap(aug_one)(keys, batch["points"], batch["kf_xyz"])
+            points = aug.pcd[:, 0]
+            action_trans = aug.action_trans[:, 1]
+            proprio_trans = aug.action_trans[:, 0]
+            # camera follows the scene shift (perturb_se3_camera_pose analog,
+            # train_nerfact_multi_kitchen.py:257-316): same translation
+            # applied to the pose origin keeps pixels aligned
+            gt_pose = batch["gt_pose"].at[:, :3, 3].add(aug.shift)
+
+            proprio = jnp.concatenate(
+                [proprio_trans.astype(jnp.float32), batch["proprio"][:, 3:]],
+                axis=-1)
+            vox = voxelize(points, batch["colors"], self.bounds, c.voxelizer,
+                           valid=batch["valid"])
+            out, new_extra = self._forward(params["policy"], extra, vox,
+                                           proprio, batch["lang"], train=True)
+            q_trans, q_rot_grip, q_coll, voxel_feat = out
+            action = DiscreteAction(trans=action_trans,
+                                    rot_grip=batch["rot_grip"],
+                                    collision=batch["collision"])
+            bc_total, metrics = bc_losses(q_trans, q_rot_grip, q_coll, action,
+                                          c.model.voxel_size,
+                                          c.model.num_rotation_classes)
+
+            # rendering loss on sample 0 (reference trains with bs=1)
+            render_loss, rmetrics = self.renderer.rendering_loss(
+                {"params": params["nerf"]}, voxel_feat[:1],
+                batch["gt_rgb"][:1], gt_pose[:1], batch["focal"][0],
+                k_render, gt_embed=batch.get("gt_embed"),
+                gt_depth=batch.get("gt_depth"))
+            metrics.update(rmetrics)
+            total = jc.lambda_bc * bc_total + jc.lambda_nerf * render_loss
+            metrics["loss_total"] = total
+            return total, (metrics, new_extra)
+
+        (loss, (metrics, new_extra)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.extra)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(step=state.step + 1, params=params,
+                           opt_state=opt_state, extra=new_extra), metrics)
+
+    # ---------------------------------------------------------------- data
+    def synthetic_data(self, batch_size: int = 1, seed: int = 0,
+                       lang_embs: Optional[np.ndarray] = None):
+        """PerAct synthetic batches extended with a rendered gt view.
+
+        The 'gt' image is a cheap splat of the synthetic scene (good enough
+        to drive the loss path; real data supplies real views)."""
+        from real_robot_nerf_actor_tpu.data.synthetic import (
+            make_camera_arc, make_synthetic_scene)
+        rc = self.jcfg.renderer
+        base = super().synthetic_data(batch_size, seed, lang_embs)
+        scene = make_synthetic_scene(seed=seed)
+        pose = make_camera_arc(1)[0]
+        h, w = rc.image_height, rc.image_width
+        focal = 0.6 * max(h, w)
+        gt_rgb = _splat_view(scene, pose, h, w, focal)
+        d_embed = rc.field.d_embed
+        rng = np.random.default_rng(seed + 1)
+        gt_embed = rng.standard_normal((h, w, d_embed)).astype(np.float32) * 0.01
+        for batch in base:
+            batch = dict(batch)
+            batch["gt_rgb"] = jnp.asarray(
+                np.broadcast_to(gt_rgb, (batch_size, h, w, 3)).copy())
+            batch["gt_pose"] = jnp.asarray(
+                np.broadcast_to(pose, (batch_size, 4, 4)).copy())
+            batch["focal"] = jnp.full((batch_size,), focal, jnp.float32)
+            batch["gt_embed"] = jnp.asarray(
+                np.broadcast_to(gt_embed, (batch_size, h, w, d_embed)).copy())
+            yield batch
+
+    def make_trainer(self, data: Optional[Iterator] = None) -> Trainer:
+        return Trainer(self.cfg.train, self.train_step,
+                       data or self.synthetic_data(), self.init_state)
+
+
+def _splat_view(scene, pose: np.ndarray, h: int, w: int, focal: float
+                ) -> np.ndarray:
+    """Project scene points into the view and splat colors (z-buffered)."""
+    w2c = np.linalg.inv(pose)
+    p_cam = scene.points @ w2c[:3, :3].T + w2c[:3, 3]
+    z = -p_cam[:, 2]
+    keep = z > 1e-3
+    p_cam, z = p_cam[keep], z[keep]
+    cols = (scene.colors[keep] + 1.0) / 2.0
+    u = (focal * p_cam[:, 0] / z + w / 2).astype(np.int32)
+    v = (-focal * p_cam[:, 1] / z + h / 2).astype(np.int32)
+    ok = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    u, v, z, cols = u[ok], v[ok], z[ok], cols[ok]
+    order = np.argsort(-z)  # far first so near overwrites
+    img = np.zeros((h, w, 3), np.float32)
+    img[v[order], u[order]] = cols[order]
+    return img

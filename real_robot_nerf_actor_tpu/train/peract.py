@@ -1,0 +1,221 @@
+"""PerAct BC training: voxelize -> PerceiverIO -> cross-entropy losses.
+
+Reference behavior: the training iteration of
+/root/reference/train_peract_single_kitchen_single_task.py:848-958
+(single/multi task and multi kitchen are *data* configs here, not separate
+script copies — cf. SURVEY.md §7.5).
+
+TPU design: the whole step — SE(3) aug, scatter voxelization, the 100^3
+PerceiverIO forward, CE losses, and the AdamW update — is ONE jitted
+function. Batches are host-assembled numpy with static shapes
+(points padded to max_num_coords).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from real_robot_nerf_actor_tpu.data.replay import (
+    PointCloudSample, pad_point_cloud)
+from real_robot_nerf_actor_tpu.data.synthetic import (
+    make_synthetic_demo, make_synthetic_scene)
+from real_robot_nerf_actor_tpu.models import PerceiverConfig, PerceiverIO
+from real_robot_nerf_actor_tpu.ops import (
+    VoxelizerSpec, apply_se3_augmentation, discretize_action, voxelize)
+from real_robot_nerf_actor_tpu.ops.action_codec import DiscreteAction
+from real_robot_nerf_actor_tpu.train.trainer import (
+    OptimConfig, TrainConfig, TrainState, Trainer, make_optimizer)
+
+
+@dataclasses.dataclass(frozen=True)
+class PerActConfig:
+    model: PerceiverConfig = dataclasses.field(default_factory=PerceiverConfig)
+    voxelizer: VoxelizerSpec = dataclasses.field(default_factory=VoxelizerSpec)
+    coord_bounds: Tuple[float, ...] = (-0.1, -0.3, -0.2, 0.8, 0.7, 0.7)
+    rotation_resolution: float = 5.0
+    trans_aug_range: Tuple[float, float, float] = (0.125, 0.05, 0.05)
+    use_se3_aug: bool = True
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def bc_losses(q_trans: jnp.ndarray, q_rot_grip: jnp.ndarray,
+              q_collision: jnp.ndarray, action: DiscreteAction,
+              voxel_size: int, num_rotation_classes: int = 72
+              ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Cross-entropy on all heads against discrete expert actions.
+
+    Matches the reference losses (train_peract_...py:931-953) without
+    materializing one-hots: integer-label CE on trans (V^3-way), rot x/y/z
+    (R-way), grip (2-way), collision (2-way).
+    """
+    b = q_trans.shape[0]
+    r = num_rotation_classes
+    flat_idx = (action.trans[:, 0] * voxel_size * voxel_size
+                + action.trans[:, 1] * voxel_size + action.trans[:, 2])
+    ce = optax.softmax_cross_entropy_with_integer_labels
+    trans_loss = ce(q_trans.reshape(b, -1), flat_idx)
+    rot_grip_loss = (
+        ce(q_rot_grip[:, 0 * r:1 * r], action.rot_grip[:, 0])
+        + ce(q_rot_grip[:, 1 * r:2 * r], action.rot_grip[:, 1])
+        + ce(q_rot_grip[:, 2 * r:3 * r], action.rot_grip[:, 2])
+        + ce(q_rot_grip[:, 3 * r:], action.rot_grip[:, 3]))
+    collision_loss = ce(q_collision, action.collision[:, 0])
+    total = jnp.mean(trans_loss + rot_grip_loss + collision_loss)
+    return total, {
+        "loss_trans": jnp.mean(trans_loss),
+        "loss_rot_grip": jnp.mean(rot_grip_loss),
+        "loss_collision": jnp.mean(collision_loss),
+        "loss": total,
+    }
+
+
+class PerActTrainer:
+    """Builds the jitted train step + host data pipeline for PerAct BC."""
+
+    def __init__(self, cfg: PerActConfig):
+        self.cfg = cfg
+        self.net = PerceiverIO(cfg.model)
+        self.tx = make_optimizer(cfg.train.optim)
+        self.bounds = jnp.asarray(cfg.coord_bounds)
+
+    # ------------------------------------------------------------- state
+    def init_state(self, rng) -> TrainState:
+        c = self.cfg
+        v = c.model.voxel_size
+        vox = jnp.zeros((1, v, v, v, c.model.initial_dim))
+        proprio = jnp.zeros((1, c.model.low_dim_size))
+        lang = jnp.zeros((1, c.model.lang_max_seq_len, c.model.lang_emb_dim))
+        variables = self.net.init(rng, vox, proprio, lang)
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=self.tx.init(params), extra=extra)
+
+    # -------------------------------------------------------------- step
+    def _forward(self, params, extra, vox, proprio, lang, train: bool):
+        variables = {"params": params, **extra}
+        if "batch_stats" in extra and train:
+            out, new_vars = self.net.apply(
+                variables, vox, proprio, lang, train=True,
+                mutable=["batch_stats"])
+            return out, new_vars
+        return self.net.apply(variables, vox, proprio, lang), extra
+
+    def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """batch (all leading dim B):
+          points (B,N,3), colors (B,N,3), valid (B,N), proprio (B,7),
+          lang (B,77,512), kf_xyz (B,2,3) current+next keyframe positions,
+          rot_grip (B,4) int, collision (B,1) int.
+        """
+        c = self.cfg
+
+        def loss_fn(params, extra):
+            k_aug, _ = jax.random.split(rng)
+
+            def aug_one(key, pts, kf):
+                return apply_se3_augmentation(
+                    key, pts[None], kf, self.bounds,
+                    jnp.asarray(c.trans_aug_range), c.model.voxel_size)
+
+            b = batch["points"].shape[0]
+            if c.use_se3_aug:
+                keys = jax.random.split(k_aug, b)
+                aug = jax.vmap(aug_one)(keys, batch["points"], batch["kf_xyz"])
+                points = aug.pcd[:, 0]
+                action_trans = aug.action_trans[:, 1]   # next keyframe
+                proprio_trans = aug.action_trans[:, 0]  # current keyframe
+            else:
+                from real_robot_nerf_actor_tpu.ops.geometry import (
+                    point_to_voxel_index)
+                points = batch["points"]
+                idx = point_to_voxel_index(batch["kf_xyz"], c.model.voxel_size,
+                                           self.bounds)
+                action_trans, proprio_trans = idx[:, 1], idx[:, 0]
+
+            proprio = jnp.concatenate(
+                [proprio_trans.astype(jnp.float32),
+                 batch["proprio"][:, 3:]], axis=-1)
+
+            vox = voxelize(points, batch["colors"], self.bounds, c.voxelizer,
+                           valid=batch["valid"])
+            (out, new_extra) = self._forward(params, extra, vox, proprio,
+                                             batch["lang"], train=True)
+            q_trans, q_rot_grip, q_coll = out[:3]
+            action = DiscreteAction(trans=action_trans,
+                                    rot_grip=batch["rot_grip"],
+                                    collision=batch["collision"])
+            total, metrics = bc_losses(q_trans, q_rot_grip, q_coll, action,
+                                       c.model.voxel_size,
+                                       c.model.num_rotation_classes)
+            return total, (metrics, new_extra)
+
+        (loss, (metrics, new_extra)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.extra)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(step=state.step + 1, params=params,
+                           opt_state=opt_state, extra=new_extra), metrics)
+
+    # ------------------------------------------------------------ inference
+    def predict(self, state: TrainState, vox, proprio, lang):
+        out, _ = self._forward(state.params, state.extra, vox, proprio, lang,
+                               train=False)
+        return out
+
+    # ---------------------------------------------------------------- data
+    def synthetic_data(self, batch_size: int = 1, seed: int = 0,
+                       lang_embs: Optional[np.ndarray] = None
+                       ) -> Iterator[Dict[str, jnp.ndarray]]:
+        """Host-side generator over synthetic keyframe demos (replay-style)."""
+        c = self.cfg
+        rng = np.random.default_rng(seed)
+        scene = make_synthetic_scene(seed=seed)
+        demo = make_synthetic_demo(scene, seed=seed)
+        pts, cols, valid = pad_point_cloud(
+            PointCloudSample(scene.points, scene.colors),
+            c.voxelizer.max_num_coords)
+        if lang_embs is None:
+            lang_embs = rng.standard_normal(
+                (c.model.lang_max_seq_len, c.model.lang_emb_dim)).astype(
+                    np.float32)
+        n_key = demo.num_keyframes - 1
+        while True:
+            out = {k: [] for k in ("points", "colors", "valid", "proprio",
+                                   "lang", "kf_xyz", "rot_grip", "collision")}
+            for _ in range(batch_size):
+                i = int(rng.integers(0, n_key))
+                nxt = discretize_action(
+                    jnp.asarray(demo.xyz[i + 1])[None],
+                    jnp.asarray(demo.rotation[i + 1])[None],
+                    jnp.asarray(demo.gripper_open[i + 1:i + 2]),
+                    jnp.ones((1,)), self.bounds, c.model.voxel_size,
+                    c.rotation_resolution)
+                cur = discretize_action(
+                    jnp.asarray(demo.xyz[i])[None],
+                    jnp.asarray(demo.rotation[i])[None],
+                    jnp.asarray(demo.gripper_open[i:i + 1]),
+                    jnp.ones((1,)), self.bounds, c.model.voxel_size,
+                    c.rotation_resolution)
+                proprio = np.concatenate([
+                    np.zeros(3, np.float32),          # filled by aug in-step
+                    np.asarray(cur.rot_grip[0], np.float32)])
+                out["points"].append(pts)
+                out["colors"].append(cols)
+                out["valid"].append(valid)
+                out["proprio"].append(proprio)
+                out["lang"].append(lang_embs)
+                out["kf_xyz"].append(np.stack([demo.xyz[i], demo.xyz[i + 1]]))
+                out["rot_grip"].append(np.asarray(nxt.rot_grip[0]))
+                out["collision"].append(np.asarray(nxt.collision[0]))
+            yield {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+
+    def make_trainer(self, data: Optional[Iterator] = None) -> Trainer:
+        return Trainer(self.cfg.train, self.train_step,
+                       data or self.synthetic_data(), self.init_state)

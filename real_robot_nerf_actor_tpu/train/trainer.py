@@ -1,0 +1,155 @@
+"""Unified trainer runtime: optimizer, checkpoint/resume, logging, step loop.
+
+Replaces the reference's per-script loops and its two checkpoint styles
+(flat state_dict dumps train_peract_single_kitchen_single_task.py:728-731 and
+managed latest+backup trainlib resume featurenerf/train/trainlib/trainer.py:56-103)
+with one Orbax-backed manager storing params/opt_state/step together, keeping
+the latest+backup semantics via Orbax's max_to_keep.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from real_robot_nerf_actor_tpu.utils.logger import Logger
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 1e-4
+    weight_decay: float = 1e-6
+    grad_clip: float = 0.0
+    # 'adamw' matches the reference Adam(lr=1e-4, weight_decay=1e-6)
+    name: str = "adamw"
+    lr_decay_rate: float = 0.0   # exponential decay per step (0 = constant)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_steps: int = 100000
+    log_every: int = 50
+    ckpt_every: int = 10000
+    eval_every: int = 2000
+    seed: int = 0
+    ckpt_dir: Optional[str] = None
+    log_dir: Optional[str] = None
+    max_ckpts_to_keep: int = 2   # latest + backup
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    extra: Any = None    # e.g. batch_stats for BN models
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    if cfg.lr_decay_rate > 0:
+        schedule = optax.exponential_decay(cfg.lr, 1, 1.0 - cfg.lr_decay_rate)
+    else:
+        schedule = cfg.lr
+    if cfg.name == "adamw":
+        tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    elif cfg.name == "adam":
+        tx = optax.adam(schedule)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.name!r}")
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+class CheckpointManager:
+    """Orbax wrapper with latest+backup retention and full-state restore."""
+
+    def __init__(self, directory: str, max_to_keep: int = 2):
+        import orbax.checkpoint as ocp
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir, options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True))
+
+    def save(self, step: int, state: TrainState):
+        import orbax.checkpoint as ocp
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_like: TrainState, step: Optional[int] = None
+                ) -> Optional[TrainState]:
+        import orbax.checkpoint as ocp
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+
+
+class Trainer:
+    """Generic step-driven trainer.
+
+    Subclasses (or callers) provide:
+      - init_state(rng) -> TrainState
+      - train_step(state, batch, rng) -> (state, metrics)  [jitted here]
+      - data: an iterator of batches (host-side; see data/)
+      - optional eval_fn(state, step) -> metrics dict
+    """
+
+    def __init__(self, cfg: TrainConfig,
+                 train_step: Callable,
+                 data: Iterator,
+                 init_state: Callable[[jax.Array], TrainState],
+                 eval_fn: Optional[Callable] = None,
+                 donate_state: bool = True):
+        self.cfg = cfg
+        self.data = data
+        self.eval_fn = eval_fn
+        self._init_state = init_state
+        self._step_fn = jax.jit(
+            train_step, donate_argnums=(0,) if donate_state else ())
+        self.logger = Logger(cfg.log_dir, print_every=cfg.log_every)
+        self.ckpt = (CheckpointManager(cfg.ckpt_dir, cfg.max_ckpts_to_keep)
+                     if cfg.ckpt_dir else None)
+
+    def run(self, resume: bool = True) -> TrainState:
+        rng = jax.random.key(self.cfg.seed)
+        rng, init_rng = jax.random.split(rng)
+        state = self._init_state(init_rng)
+        start = 0
+        if resume and self.ckpt is not None:
+            restored = self.ckpt.restore(state)
+            if restored is not None:
+                state = restored
+                start = int(state.step)
+                print(f"[trainer] resumed from step {start}")
+
+        t_last = time.time()
+        for step in range(start, self.cfg.num_steps):
+            batch = next(self.data)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = self._step_fn(state, batch, step_rng)
+            if (step + 1) % self.cfg.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["steps_per_sec"] = self.cfg.log_every / (
+                    time.time() - t_last)
+                t_last = time.time()
+                self.logger.log(metrics, step + 1)
+            if self.eval_fn is not None and (step + 1) % self.cfg.eval_every == 0:
+                ev = self.eval_fn(state, step + 1)
+                if ev:
+                    self.logger.log(ev, step + 1, category="eval")
+            if self.ckpt is not None and (step + 1) % self.cfg.ckpt_every == 0:
+                self.ckpt.save(step + 1, state)
+        if self.ckpt is not None and int(state.step) % self.cfg.ckpt_every != 0:
+            self.ckpt.save(int(state.step), state)
+        return state

@@ -1,0 +1,74 @@
+"""Unified logger: console + JSONL metrics + optional TensorBoard.
+
+Replaces the reference's three logging paths (wandb, tensorboard
+SummaryWriter, colored console prints — /root/reference/featurenerf_robo/src/logger.py:134-235)
+with one class. The JSONL file is the machine-readable record (wandb-style
+events without the service dependency); TensorBoard is attached when the
+package is importable and a log dir is given.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class AverageMeter:
+    def __init__(self):
+        self._sum = 0.0
+        self._count = 0
+
+    def update(self, value: float, n: int = 1):
+        self._sum += value * n
+        self._count += n
+
+    def value(self) -> float:
+        return self._sum / max(1, self._count)
+
+    def reset(self):
+        self._sum, self._count = 0.0, 0
+
+
+class Logger:
+    def __init__(self, log_dir: Optional[str] = None, use_tensorboard: bool = False,
+                 print_every: int = 50):
+        self.log_dir = log_dir
+        self.print_every = print_every
+        self._meters: Dict[str, AverageMeter] = defaultdict(AverageMeter)
+        self._jsonl = None
+        self._tb = None
+        self._t0 = time.time()
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            if use_tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                    self._tb = SummaryWriter(log_dir)
+                except Exception:
+                    self._tb = None
+
+    def log(self, metrics: Dict[str, float], step: int, category: str = "train"):
+        rec = {"step": step, "category": category, "time": time.time() - self._t0}
+        for k, v in metrics.items():
+            v = float(v)
+            rec[k] = v
+            self._meters[f"{category}/{k}"].update(v)
+            if self._tb is not None:
+                self._tb.add_scalar(f"{category}/{k}", v, step)
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(rec) + "\n")
+            self._jsonl.flush()
+        if step % self.print_every == 0:
+            msg = " | ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
+            print(f"[{category}] step {step} | {msg} | "
+                  f"t={time.time() - self._t0:.1f}s", file=sys.stderr)
+
+    def close(self):
+        if self._jsonl is not None:
+            self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

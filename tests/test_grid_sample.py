@@ -1,0 +1,46 @@
+"""Trilinear grid-sample parity vs torch.nn.functional.grid_sample
+(align_corners=True, zeros padding) — the exact call used by the reference
+at models_embed.py:275."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from real_robot_nerf_actor_tpu.ops import grid_sample_3d, sample_in_canonical_voxel
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_grid_sample_matches_torch(seed):
+    rng = np.random.default_rng(seed)
+    b, d, h, w, c = 2, 7, 6, 5, 4
+    n = 200
+    grid = rng.standard_normal((b, c, d, h, w)).astype(np.float32)
+    coords = rng.uniform(-1.3, 1.3, size=(b, n, 3)).astype(np.float32)  # incl. out of range
+
+    want = F.grid_sample(
+        torch.as_tensor(grid),
+        torch.as_tensor(coords)[:, None, None],  # (B,1,1,N,3)
+        align_corners=True, mode="bilinear", padding_mode="zeros",
+    ).squeeze(2).squeeze(2).permute(0, 2, 1).numpy()  # (B,N,C)
+
+    got = grid_sample_3d(jnp.asarray(grid.transpose(0, 2, 3, 4, 1)), jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_sample_in_canonical_voxel():
+    rng = np.random.default_rng(2)
+    b, v, c, n = 1, 10, 8, 64
+    vox = rng.standard_normal((b, c, v, v, v)).astype(np.float32)
+    canon = rng.uniform(0, 1, size=(b, n, 3)).astype(np.float32)
+
+    coords = canon * 2 - 1
+    want = F.grid_sample(
+        torch.as_tensor(vox), torch.as_tensor(coords)[:, None, None],
+        align_corners=True, mode="bilinear",
+    ).squeeze(2).squeeze(2).permute(0, 2, 1).numpy()
+
+    got = sample_in_canonical_voxel(jnp.asarray(vox.transpose(0, 2, 3, 4, 1)),
+                                    jnp.asarray(canon))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,104 @@
+"""Samplers + alpha compositing tests (neural_rendering.py:159-396 math)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from real_robot_nerf_actor_tpu.ops import (
+    sample_coarse, sample_fine, sample_fine_depth, composite)
+
+
+def _rays(b, near=1.2, far=4.0):
+    rng = np.random.default_rng(0)
+    o = rng.standard_normal((b, 3)).astype(np.float32)
+    d = rng.standard_normal((b, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    nf = np.broadcast_to([near, far], (b, 2)).astype(np.float32)
+    return jnp.asarray(np.concatenate([o, d, nf], -1))
+
+
+def test_sample_coarse_stratified():
+    rays = _rays(64)
+    z = np.asarray(sample_coarse(jax.random.key(0), rays, 64))
+    assert z.shape == (64, 64)
+    assert (z >= 1.2).all() and (z <= 4.0).all()
+    # strictly increasing per ray (strata are disjoint)
+    assert (np.diff(z, axis=-1) > 0).all()
+    # bin k sample lies in [near + k*step_range, near + (k+1)*step_range]
+    edges = 1.2 + (4.0 - 1.2) * np.arange(65) / 64
+    assert (z >= edges[:-1][None] - 1e-5).all() and (z <= edges[1:][None] + 1e-5).all()
+
+
+def test_sample_fine_follows_weights():
+    rays = _rays(16)
+    w = np.zeros((16, 64), np.float32)
+    w[:, 30] = 1.0  # all mass in stratum 30
+    z = np.asarray(sample_fine(jax.random.key(1), rays, jnp.asarray(w), 16, 64))
+    assert z.shape == (16, 16)
+    # nearly all samples must land in stratum 30 (tiny 1e-5 leakage allowed)
+    edges = 1.2 + (4.0 - 1.2) * np.arange(65) / 64
+    frac = ((z >= edges[30] - 1e-3) & (z <= edges[31] + 1e-3)).mean()
+    assert frac > 0.95
+
+
+def test_sample_fine_depth_clamped():
+    rays = _rays(8)
+    depth = jnp.full((8,), 3.99)
+    z = np.asarray(sample_fine_depth(jax.random.key(2), rays, depth, 16, depth_std=0.1))
+    assert (z <= 4.0).all() and (z >= 1.2).all()
+
+
+def test_composite_golden_simple():
+    """Two samples with hand-computable alphas."""
+    rays = jnp.asarray([[0, 0, 0, 0, 0, -1, 0.0, 3.0]], jnp.float32)
+    z = jnp.asarray([[1.0, 2.0]])
+    sigmas = jnp.asarray([[1.0, 2.0]])
+    rgbs = jnp.asarray([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]])
+    embeds = jnp.asarray([[[2.0], [4.0]]])
+    out = composite(z, rays, rgbs, sigmas, embeds)
+    # deltas = [1.0, far - 2.0 = 1.0]
+    a1 = 1 - np.exp(-1.0)
+    a2 = 1 - np.exp(-2.0)
+    t2 = (1 - a1 + 1e-10)
+    w = np.array([a1, a2 * t2])
+    np.testing.assert_allclose(np.asarray(out.weights[0]), w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.rgb[0]), [w[0], w[1], 0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.depth[0]), w[0] * 1 + w[1] * 2, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.embed[0]), [2 * w[0] + 4 * w[1]], rtol=1e-5)
+
+
+def test_composite_opaque_ray():
+    """A very dense sample should terminate the ray (weights sum ~= 1)."""
+    rays = _rays(4)
+    z = jnp.broadcast_to(jnp.linspace(1.2, 4.0, 32), (4, 32))
+    sigmas = jnp.full((4, 32), 100.0)
+    rgbs = jnp.ones((4, 32, 3)) * 0.5
+    out = composite(z, rays, rgbs, sigmas, jnp.zeros((4, 32, 1)))
+    np.testing.assert_allclose(np.asarray(out.weights.sum(-1)), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.rgb), 0.5, atol=1e-4)
+
+
+def test_composite_white_bkgd():
+    rays = _rays(2)
+    z = jnp.broadcast_to(jnp.linspace(1.2, 4.0, 8), (2, 8))
+    out = composite(z, rays, jnp.zeros((2, 8, 3)), jnp.zeros((2, 8)),
+                    jnp.zeros((2, 8, 1)), white_bkgd=True)
+    np.testing.assert_allclose(np.asarray(out.rgb), 1.0, atol=1e-5)
+
+
+def test_se3_aug_consistency():
+    from real_robot_nerf_actor_tpu.ops import apply_se3_augmentation
+    bounds = jnp.asarray([-0.1, -0.3, -0.2, 0.8, 0.7, 0.7])
+    pcd = jax.random.uniform(jax.random.key(0), (1, 500, 3)) * 0.5
+    kf = jnp.asarray([[0.3, 0.2, 0.1], [0.5, 0.4, 0.3]])
+    out = apply_se3_augmentation(jax.random.key(3), pcd, kf, bounds,
+                                 jnp.asarray([0.125, 0.05, 0.05]), 100)
+    # pcd is rigidly shifted
+    np.testing.assert_allclose(np.asarray(out.pcd - pcd)[0],
+                               np.broadcast_to(np.asarray(out.shift), (500, 3)), atol=1e-6)
+    # actions stay in bounds after discretization
+    assert (np.asarray(out.action_trans) >= 0).all()
+    assert (np.asarray(out.action_trans) <= 99).all()
+    # and match re-discretizing the shifted keyframes
+    from real_robot_nerf_actor_tpu.ops.geometry import point_to_voxel_index
+    want = point_to_voxel_index(kf + out.shift[None], 100, bounds)
+    np.testing.assert_array_equal(np.asarray(out.action_trans), np.asarray(want))
