@@ -1,0 +1,185 @@
+"""Demonstration generation + keyframe buffers for the sim suite.
+
+Reference behavior:
+  - gen_demonstration_keyframe.py:36-200: roll out a trained policy, store
+    rgb/depth/pointcloud/transitions per trajectory, keep successes
+  - gen_nerf_data.py:20-72: random policy + orbiting camera -> per-scene
+    multi-view images + camera poses for NeRF training
+  - utils_keyframe.py:88-139 KeyframeBuffer: keyframe discovery (gripper
+    change + stopping points) over stored trajectories
+
+A scripted expert replaces the pretrained SAC policies so demo generation
+is hermetic.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from real_robot_nerf_actor_tpu.data.scene_dataset import Scene
+from real_robot_nerf_actor_tpu.envs.base import XArmSimEnv
+from real_robot_nerf_actor_tpu.envs.rendering import (
+    RaycastRenderer, camera_pose)
+
+
+def scripted_expert(env: XArmSimEnv) -> np.ndarray:
+    """A simple goal-seeking expert for the bundled tasks: move toward the
+    task-relevant point, close the gripper near objects, lift when grasped."""
+    task = env.task
+    ee = env.ee_pos()
+    name = task.name
+    if name in ("reach", "reach_wall"):
+        import mujoco
+        mid = env.model.body_mocapid[
+            mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_BODY, "target")]
+        delta = env.data.mocap_pos[mid] - ee
+        return np.clip(np.concatenate([delta * 12, [-1.0]]), -1, 1)
+    try:
+        obj = task.body_pos(env, "object")
+    except Exception:
+        obj = ee
+    # the fingers hang ~0.035 below the hand center; a hand height of
+    # obj_z + 0.035 centers them on the object
+    grasp_z = obj[2] + 0.035
+    hover = np.array([obj[0], obj[1], grasp_z + 0.10])
+    grasping = env.gripper_open() < 0.55
+    grasped = grasping and abs(ee[2] - grasp_z) < 0.05 \
+        and np.linalg.norm(ee[:2] - obj[:2]) < 0.03
+    if name in ("lift", "hammer", "pick_place", "stacking", "shelf_placing",
+                "peg_in_box", "peg_insert"):
+        if grasped:
+            return np.array([0, 0, 1.0, 1.0], np.float32)
+        if np.linalg.norm(ee[:2] - obj[:2]) > 0.012:
+            # approach from above, never sweeping through the object
+            tgt = hover if ee[2] < grasp_z + 0.06 else \
+                np.array([obj[0], obj[1], ee[2]])
+            return np.clip(np.concatenate([(tgt - ee) * 8, [-1.0]]), -1, 1)
+        if ee[2] > grasp_z + 0.01:
+            return np.clip(np.concatenate(
+                [[0, 0, (grasp_z - ee[2]) * 8], [-1.0]]), -1, 1)
+        return np.array([0, 0, 0, 1.0], np.float32)
+    # push-like default: move toward the object at table height and push
+    return np.clip(np.concatenate([(obj - ee) * 10, [1.0]]), -1, 1)
+
+
+@dataclasses.dataclass
+class Trajectory:
+    observations: List
+    actions: List[np.ndarray]
+    rewards: List[float]
+    gripper_open: List[float]
+    ee_positions: List[np.ndarray]
+    success: bool
+
+
+def generate_demonstrations(task_name: str = "lift", n_demos: int = 5,
+                            obs_mode: str = "state", image_size: int = 32,
+                            episode_length: int = 40, seed: int = 0,
+                            keep_failures: bool = False,
+                            policy=None) -> List[Trajectory]:
+    """Roll out the expert (or a given policy), keep successful episodes."""
+    env = XArmSimEnv(task_name=task_name, obs_mode=obs_mode,
+                     image_size=image_size, seed=seed)
+    trajs: List[Trajectory] = []
+    ep = 0
+    while len(trajs) < n_demos and ep < n_demos * 10:
+        obs, _ = env.reset(seed=seed + ep)
+        ep += 1
+        tr = Trajectory([], [], [], [], [], False)
+        for _ in range(episode_length):
+            a = (policy(obs) if policy is not None else scripted_expert(env))
+            tr.observations.append(obs)
+            tr.actions.append(np.asarray(a, np.float32))
+            tr.ee_positions.append(env.ee_pos())
+            tr.gripper_open.append(env.gripper_open())
+            obs, r, term, trunc, info = env.step(a)
+            tr.rewards.append(float(r))
+            if info.get("success"):
+                tr.success = True
+                break
+        if tr.success or keep_failures:
+            trajs.append(tr)
+    return trajs
+
+
+def generate_nerf_scene(task_name: str = "lift", n_views: int = 12,
+                        image_size: int = 48, seed: int = 0,
+                        n_random_steps: int = 3) -> Scene:
+    """Random-policy rollout + camera orbit -> multi-view Scene (the
+    gen_nerf_data flow), rendered with the raycast renderer."""
+    env = XArmSimEnv(task_name=task_name, obs_mode="state",
+                     image_size=image_size, seed=seed)
+    env.reset(seed=seed)
+    rng = np.random.default_rng(seed)
+    for _ in range(n_random_steps):
+        env.step(rng.uniform(-1, 1, 4))
+
+    renderer = RaycastRenderer(env.model, image_size, image_size)
+    images, poses = [], []
+    center = np.array([0.0, 0.0, 0.08])
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        eye = center + np.array([0.75 * np.cos(ang), 0.75 * np.sin(ang), 0.5])
+        fwd = center - eye
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross(fwd, [0, 0, 1.0])
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        env.set_camera_pose("dynamic", eye, np.concatenate([right, up]))
+        out = renderer.render(env.data, "dynamic")
+        images.append(out.rgb)
+        poses.append(camera_pose(env.model, env.data, "dynamic"))
+    k = env.camera_intrinsic("dynamic")
+    return Scene(images=np.stack(images).astype(np.float32),
+                 poses=np.stack(poses).astype(np.float32),
+                 focal=float(k[0, 0]))
+
+
+class KeyframeBuffer:
+    """Keyframe discovery + storage over trajectories (utils_keyframe.py):
+    a frame is a keyframe when the gripper state flips or the end effector
+    stops (low velocity), plus the final frame."""
+
+    def __init__(self, stop_threshold: float = 2e-3):
+        self.stop_threshold = stop_threshold
+        self.keyframes: List[Dict] = []
+
+    def _discover(self, tr: Trajectory) -> List[int]:
+        n = len(tr.actions)
+        ks: List[int] = []
+        for i in range(1, n):
+            if (tr.gripper_open[i] > 0.5) != (tr.gripper_open[i - 1] > 0.5):
+                ks.append(i)
+            elif (i + 1 < n and np.linalg.norm(
+                    tr.ee_positions[i] - tr.ee_positions[i - 1])
+                    < self.stop_threshold):
+                ks.append(i)
+        ks.append(n - 1)
+        return sorted(set(ks))
+
+    def add_trajectory(self, tr: Trajectory):
+        for k in self._discover(tr):
+            self.keyframes.append({
+                "obs": tr.observations[k],
+                "ee_pos": tr.ee_positions[k],
+                "gripper_open": tr.gripper_open[k],
+                "action": tr.actions[k],
+            })
+
+    def __len__(self):
+        return len(self.keyframes)
+
+    def sample(self, batch_size: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        idx = rng.integers(0, len(self.keyframes), batch_size)
+        return [self.keyframes[i] for i in idx]
+
+
+def simple_motion_planning(start: np.ndarray, goal: np.ndarray,
+                           n_steps: int = 10) -> np.ndarray:
+    """Linear end-effector interpolation between keyframes (the reference's
+    train_bc_keyframe.py:42 helper)."""
+    ts = np.linspace(0.0, 1.0, n_steps + 1)[1:, None]
+    return start[None] * (1 - ts) + goal[None] * ts

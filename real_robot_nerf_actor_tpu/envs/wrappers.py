@@ -1,0 +1,197 @@
+"""Environment wrappers + make_env factory.
+
+Reference behavior: /root/reference/featurenerf_robo/src/env/wrappers.py:22-118
+(make_env stacks TimeLimit, Success, ObservationSpace, ActionSpace,
+FrameStack, DynamicCameraWrapper, DomainRandomization, CameraPosWrapper,
+GripperWrapper over the robot suite). Rebuilt on gymnasium with the
+GL-free raycast renderer.
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Optional, Sequence
+
+import gymnasium as gym
+import numpy as np
+
+from real_robot_nerf_actor_tpu.envs.base import XArmSimEnv
+
+
+class SuccessWrapper(gym.Wrapper):
+    """Tracks episode success (any step with info['success'])."""
+
+    def reset(self, **kw):
+        self._success = False
+        return self.env.reset(**kw)
+
+    def step(self, action):
+        obs, r, term, trunc, info = self.env.step(action)
+        self._success = self._success or bool(info.get("success", False))
+        info["episode_success"] = self._success
+        return obs, r, term, trunc, info
+
+
+class ActionSpaceWrapper(gym.ActionWrapper):
+    """Restrict the Cartesian action space: 'xy', 'xyz', or 'xyzw' (full)."""
+
+    def __init__(self, env, mode: str = "xyzw"):
+        super().__init__(env)
+        self.mode = mode
+        dims = {"xy": 2, "xyz": 3, "xyzw": 4}[mode]
+        self.action_space = gym.spaces.Box(-1.0, 1.0, (dims,), np.float32)
+
+    def action(self, a):
+        a = np.asarray(a, np.float32)
+        full = np.zeros(4, np.float32)
+        if self.mode == "xy":
+            full[:2] = a
+            full[3] = 1.0  # keep gripper closed
+        elif self.mode == "xyz":
+            full[:3] = a
+            full[3] = 1.0
+        else:
+            full[:] = a
+        return full
+
+
+class FrameStackWrapper(gym.Wrapper):
+    """Stack the last k image observations along the channel axis."""
+
+    def __init__(self, env, k: int = 3):
+        super().__init__(env)
+        self.k = k
+        self._frames: deque = deque(maxlen=k)
+        space = env.observation_space
+        assert isinstance(space, gym.spaces.Box) and len(space.shape) == 3
+        h, w, c = space.shape
+        self.observation_space = gym.spaces.Box(0.0, 1.0, (h, w, c * k),
+                                                np.float32)
+
+    def reset(self, **kw):
+        obs, info = self.env.reset(**kw)
+        for _ in range(self.k):
+            self._frames.append(obs)
+        return self._obs(), info
+
+    def step(self, action):
+        obs, r, term, trunc, info = self.env.step(action)
+        self._frames.append(obs)
+        return self._obs(), r, term, trunc, info
+
+    def _obs(self):
+        return np.concatenate(list(self._frames), axis=-1)
+
+
+class DynamicCameraWrapper(gym.Wrapper):
+    """Moves the 'dynamic' camera along an orbit each step — the multi-view
+    NeRF data collection trajectory (reference DynamicCameraWrapper)."""
+
+    def __init__(self, env, radius: float = 0.8, height: float = 0.55,
+                 n_steps: int = 24, center=(0.0, 0.0, 0.1)):
+        super().__init__(env)
+        self.radius = radius
+        self.height = height
+        self.n_steps = n_steps
+        self.center = np.asarray(center)
+        self._t = 0
+
+    def _place(self):
+        ang = 2 * np.pi * (self._t % self.n_steps) / self.n_steps
+        eye = self.center + np.array([self.radius * np.cos(ang),
+                                      self.radius * np.sin(ang), self.height])
+        fwd = self.center - eye
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross(fwd, [0, 0, 1.0])
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        base = self.env.unwrapped
+        base.set_camera_pose("dynamic", eye,
+                             xyaxes=np.concatenate([right, up]))
+
+    def reset(self, **kw):
+        self._t = 0
+        self._place()
+        return self.env.reset(**kw)
+
+    def step(self, action):
+        self._t += 1
+        self._place()
+        return self.env.step(action)
+
+
+class DomainRandomizationWrapper(gym.Wrapper):
+    """Randomizes geom colors (except the robot) on every reset."""
+
+    def __init__(self, env, seed: int = 0, strength: float = 0.15):
+        super().__init__(env)
+        self._rng = np.random.default_rng(seed)
+        self.strength = strength
+        base = env.unwrapped
+        self._base_rgba = base.model.geom_rgba.copy()
+
+    def reset(self, **kw):
+        base = self.env.unwrapped
+        noise = self._rng.uniform(-self.strength, self.strength,
+                                  self._base_rgba[:, :3].shape)
+        base.model.geom_rgba[:, :3] = np.clip(
+            self._base_rgba[:, :3] + noise, 0.05, 1.0)
+        return self.env.reset(**kw)
+
+
+class CameraPosWrapper(gym.Wrapper):
+    """Exposes camera intrinsics/extrinsics/focal in info (reference
+    CameraPosWrapper getters)."""
+
+    def __init__(self, env, cam: str = "front"):
+        super().__init__(env)
+        self.cam = cam
+
+    def _cam_info(self):
+        base = self.env.unwrapped
+        k = base.camera_intrinsic(self.cam)
+        return {"cam_extrinsic": base.camera_extrinsic(self.cam),
+                "cam_intrinsic": k, "focal": float(k[0, 0])}
+
+    def reset(self, **kw):
+        obs, info = self.env.reset(**kw)
+        info.update(self._cam_info())
+        return obs, info
+
+    def step(self, action):
+        obs, r, term, trunc, info = self.env.step(action)
+        info.update(self._cam_info())
+        return obs, r, term, trunc, info
+
+
+class GripperWrapper(gym.Wrapper):
+    """Adds the scalar gripper state to info each step."""
+
+    def step(self, action):
+        obs, r, term, trunc, info = self.env.step(action)
+        info["gripper_open"] = self.env.unwrapped.gripper_open()
+        return obs, r, term, trunc, info
+
+
+def make_env(domain_name: str = "robot", task_name: str = "reach",
+             obs_mode: str = "state", image_size: int = 64,
+             episode_length: int = 50, action_space: str = "xyzw",
+             frame_stack: int = 1, dynamic_camera: bool = False,
+             domain_randomization: bool = False, camera_info: bool = False,
+             cameras: Sequence[str] = ("front",), seed: int = 0) -> gym.Env:
+    """Compose the wrapper stack (reference make_env, wrappers.py:22-118)."""
+    assert domain_name == "robot", "only the xArm robot suite is bundled"
+    env = XArmSimEnv(task_name=task_name, obs_mode=obs_mode,
+                     image_size=image_size, cameras=cameras, seed=seed)
+    env = SuccessWrapper(env)
+    env = ActionSpaceWrapper(env, action_space)
+    if dynamic_camera:
+        env = DynamicCameraWrapper(env)
+    if domain_randomization:
+        env = DomainRandomizationWrapper(env, seed=seed)
+    if camera_info:
+        env = CameraPosWrapper(env)
+    env = GripperWrapper(env)
+    if frame_stack > 1 and obs_mode == "image":
+        env = FrameStackWrapper(env, frame_stack)
+    env = gym.wrappers.TimeLimit(env, max_episode_steps=episode_length)
+    return env
