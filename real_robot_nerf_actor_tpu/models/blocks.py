@@ -12,7 +12,7 @@ Conv3DUpsampleBlock (:424-441), MultiLayer3DEncoderShallow (:303-357).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -55,10 +55,12 @@ def init_for(activation: Optional[str]):
 class DenseBlock(nn.Module):
     features: int
     activation: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.features, kernel_init=init_for(self.activation))(x)
+        x = nn.Dense(self.features, kernel_init=init_for(self.activation),
+                     dtype=self.dtype)(x)
         return act_fn(self.activation)(x)
 
 
@@ -69,6 +71,7 @@ class Conv3DBlock(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     activation: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -78,7 +81,8 @@ class Conv3DBlock(nn.Module):
                         mode="edge")
         x = nn.Conv(self.features, (self.kernel_size,) * 3,
                     strides=(self.stride,) * 3, padding="VALID",
-                    kernel_init=init_for(self.activation))(x)
+                    kernel_init=init_for(self.activation),
+                    dtype=self.dtype)(x)
         return act_fn(self.activation)(x)
 
 
@@ -96,6 +100,7 @@ class PatchifyConv3D(nn.Module):
     features: int
     patch: int = 5
     activation: Optional[str] = "lrelu"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -105,7 +110,8 @@ class PatchifyConv3D(nn.Module):
         x = x.reshape(b, d // p, p, h // p, p, w // p, p, c)
         x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
             b, d // p, h // p, w // p, p * p * p * c)
-        x = nn.Dense(self.features, kernel_init=init_for(self.activation))(x)
+        x = nn.Dense(self.features, kernel_init=init_for(self.activation),
+                     dtype=self.dtype)(x)
         return act_fn(self.activation)(x)
 
 
@@ -116,16 +122,19 @@ class Conv3DUpsampleBlock(nn.Module):
     stride: int
     kernel_size: int = 3
     activation: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = Conv3DBlock(self.features, self.kernel_size, 1, self.activation)(x)
+        x = Conv3DBlock(self.features, self.kernel_size, 1, self.activation,
+                        dtype=self.dtype)(x)
         if self.stride > 1:
             b, d, h, w, c = x.shape
             x = jax.image.resize(
                 x, (b, d * self.stride, h * self.stride, w * self.stride, c),
                 method="trilinear")
-        x = Conv3DBlock(self.features, self.kernel_size, 1, self.activation)(x)
+        x = Conv3DBlock(self.features, self.kernel_size, 1, self.activation,
+                        dtype=self.dtype)(x)
         return x
 
 

@@ -43,6 +43,7 @@ class NerfFieldConfig:
     regress_coord: bool = False
     regress_attention: bool = False
     coord_bounds: Tuple[float, ...] = (-0.1, -0.3, -0.2, 0.8, 0.7, 0.7)
+    compute_dtype: str = "float32"   # "float32" | "bfloat16" MLP compute
 
     @property
     def d_in(self) -> int:
@@ -69,13 +70,14 @@ class VoxelNerfField(nn.Module):
 
     def setup(self):
         c = self.cfg
+        dt = jnp.dtype(c.compute_dtype)
         self.mlp_coarse = ResnetFC(
             d_out=c.d_out, n_blocks=c.n_blocks, d_latent=c.d_latent,
-            d_hidden=c.d_hidden, combine_layer=c.combine_layer)
+            d_hidden=c.d_hidden, combine_layer=c.combine_layer, dtype=dt)
         if not self.share_mlp:
             self.mlp_fine = ResnetFC(
                 d_out=c.d_out, n_blocks=c.n_blocks, d_latent=c.d_latent,
-                d_hidden=c.d_hidden, combine_layer=c.combine_layer)
+                d_hidden=c.d_hidden, combine_layer=c.combine_layer, dtype=dt)
 
     def world_to_canonical(self, xyz: jnp.ndarray) -> jnp.ndarray:
         bounds = jnp.asarray(self.cfg.coord_bounds, dtype=xyz.dtype)

@@ -27,7 +27,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,7 @@ class PerceiverConfig:
     input_encoder: str = "conv1"    # "conv1" (peract) | "unet" (nerfact)
     return_voxel_feat: bool = False  # nerfact variant returns d0
     dropout_rate: float = 0.0
+    compute_dtype: str = "float32"   # "float32" | "bfloat16"
 
     @property
     def spatial_size(self) -> int:
@@ -84,13 +85,15 @@ class MHAttention(nn.Module):
     dim_head: int
     out_dim: int
     dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
         context = x if context is None else context
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context)
+        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
+        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv",
+                      dtype=self.dtype)(context)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def split_heads(t):
@@ -106,18 +109,21 @@ class MHAttention(nn.Module):
             attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], inner)
-        return nn.Dense(self.out_dim, name="to_out")(out)
+        return nn.Dense(self.out_dim, name="to_out",
+                        dtype=self.dtype)(out).astype(jnp.float32)
 
 
 class GEGLUFeedForward(nn.Module):
     dim: int
     mult: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim * self.mult * 2)(x)
+        h = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype)(x)
         h, gates = jnp.split(h, 2, axis=-1)
-        return nn.Dense(self.dim)(h * jax.nn.gelu(gates))
+        return nn.Dense(self.dim, dtype=self.dtype)(
+            h * jax.nn.gelu(gates)).astype(jnp.float32)
 
 
 class PreNormAttn(nn.Module):
@@ -126,21 +132,23 @@ class PreNormAttn(nn.Module):
     out_dim: int
     cross: bool = False
     dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
         xn = nn.LayerNorm()(x)
         cn = nn.LayerNorm(name="norm_context")(context) if self.cross else None
         return MHAttention(self.heads, self.dim_head, self.out_dim,
-                           self.dropout_rate)(xn, cn, deterministic)
+                           self.dropout_rate, self.dtype)(xn, cn, deterministic)
 
 
 class PreNormFF(nn.Module):
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return GEGLUFeedForward(self.dim)(nn.LayerNorm()(x))
+        return GEGLUFeedForward(self.dim, dtype=self.dtype)(nn.LayerNorm()(x))
 
 
 class PerceiverIO(nn.Module):
@@ -155,6 +163,7 @@ class PerceiverIO(nn.Module):
         Returns (q_trans (B,V,V,V), q_rot_grip (B,3R+2), q_collision (B,2)
         [, voxel_feat (B,V,V,V,im_channels)])."""
         c = self.cfg
+        dt = jnp.dtype(c.compute_dtype)
         b = voxel_grid.shape[0]
         v = c.voxel_size
         s = c.spatial_size
@@ -164,15 +173,16 @@ class PerceiverIO(nn.Module):
             d0 = MultiLayer3DEncoderShallow(c.im_channels, name="encoder_3d")(
                 voxel_grid, train=train)
         else:
-            d0 = Conv3DBlock(c.im_channels, 1, 1, c.activation,
+            d0 = Conv3DBlock(c.im_channels, 1, 1, c.activation, dtype=dt,
                              name="input_preprocess")(voxel_grid)
 
         feats = [spatial_softmax_3d(d0), jnp.max(d0, axis=(1, 2, 3))]
 
         # ---- patchify + proprio + language sequence
         ins = PatchifyConv3D(c.im_channels, c.voxel_patch_size, c.activation,
-                             name="patchify")(d0)          # (B, s,s,s, 64)
-        p = DenseBlock(c.im_channels, c.activation, name="proprio_preprocess")(proprio)
+                             dtype=dt, name="patchify")(d0)  # (B, s,s,s, 64)
+        p = DenseBlock(c.im_channels, c.activation,
+                       name="proprio_preprocess")(proprio)
         p = jnp.broadcast_to(p[:, None, None, None, :], ins.shape[:-1] + (c.im_channels,))
         ins = jnp.concatenate([ins, p], axis=-1)            # (B, s,s,s, 128)
         ins = ins.reshape(b, s ** 3, c.input_dim_before_seq)
@@ -191,19 +201,19 @@ class PerceiverIO(nn.Module):
         x = jnp.broadcast_to(latents[None], (b,) + latents.shape)
 
         x = PreNormAttn(c.cross_heads, c.cross_dim_head, c.latent_dim,
-                        cross=True, dropout_rate=c.dropout_rate,
+                        cross=True, dropout_rate=c.dropout_rate, dtype=dt,
                         name="cross_attend")(x, seq, deterministic) + x
-        x = PreNormFF(c.latent_dim, name="cross_ff")(x) + x
+        x = PreNormFF(c.latent_dim, dtype=dt, name="cross_ff")(x) + x
 
         for i in range(c.depth):
             x = PreNormAttn(c.latent_heads, c.latent_dim_head, c.latent_dim,
-                            dropout_rate=c.dropout_rate,
+                            dropout_rate=c.dropout_rate, dtype=dt,
                             name=f"self_attn_{i}")(x, None, deterministic) + x
-            x = PreNormFF(c.latent_dim, name=f"self_ff_{i}")(x) + x
+            x = PreNormFF(c.latent_dim, dtype=dt, name=f"self_ff_{i}")(x) + x
 
         # ---- decoder cross attention back to the token sequence
         dec = PreNormAttn(c.cross_heads, c.cross_dim_head,
-                          c.input_dim_before_seq, cross=True,
+                          c.input_dim_before_seq, cross=True, dtype=dt,
                           name="decoder_cross_attn")(seq, x, deterministic)
         dec = dec[:, c.lang_max_seq_len:]                  # drop language tokens
         dec = dec.reshape(b, s, s, s, c.input_dim_before_seq)
@@ -212,11 +222,12 @@ class PerceiverIO(nn.Module):
 
         # ---- upsample + UNet-style skip + heads
         u0 = Conv3DUpsampleBlock(c.final_dim, c.voxel_patch_size,
-                                 c.voxel_patch_size, c.activation,
+                                 c.voxel_patch_size, c.activation, dtype=dt,
                                  name="up0")(dec)           # (B, V,V,V, 64)
-        u = Conv3DBlock(c.im_channels, 3, 1, c.activation, name="final")(
-            jnp.concatenate([d0, u0], axis=-1))
-        q_trans = Conv3DBlock(1, 3, 1, None, name="trans_decoder")(u)[..., 0]
+        u = Conv3DBlock(c.im_channels, 3, 1, c.activation, dtype=dt,
+                        name="final")(jnp.concatenate([d0, u0], axis=-1))
+        q_trans = Conv3DBlock(1, 3, 1, None, name="trans_decoder")(
+            u)[..., 0].astype(jnp.float32)
 
         feats.extend([spatial_softmax_3d(u), jnp.max(u, axis=(1, 2, 3))])
 

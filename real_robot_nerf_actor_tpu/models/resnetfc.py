@@ -14,7 +14,7 @@ layer is a single [N, 512] x [512, 512] matmul on the MXU. No chunking.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -24,15 +24,17 @@ _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 class ResnetBlockFC(nn.Module):
     size_out: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(min(x.shape[-1], self.size_out), kernel_init=_kaiming)(
-            nn.relu(x))
-        dx = nn.Dense(self.size_out, kernel_init=nn.initializers.zeros)(
-            nn.relu(h))
+        h = nn.Dense(min(x.shape[-1], self.size_out), kernel_init=_kaiming,
+                     dtype=self.dtype)(nn.relu(x))
+        dx = nn.Dense(self.size_out, kernel_init=nn.initializers.zeros,
+                      dtype=self.dtype)(nn.relu(h))
         if x.shape[-1] != self.size_out:
-            x = nn.Dense(self.size_out, use_bias=False, kernel_init=_kaiming)(x)
+            x = nn.Dense(self.size_out, use_bias=False, kernel_init=_kaiming,
+                         dtype=self.dtype)(x)
         return x + dx
 
 
@@ -43,6 +45,7 @@ class ResnetFC(nn.Module):
     d_hidden: int = 512
     combine_layer: int = 1000
     combine_type: str = "average"
+    dtype: Any = jnp.float32      # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, zx: jnp.ndarray, num_views: int = 1,
@@ -50,13 +53,14 @@ class ResnetFC(nn.Module):
         """zx: (..., d_latent + d_in). If num_views > 1 the leading axis must
         be divisible by num_views and is reduced at combine_layer.
         Returns (out, last_hidden); out (..., d_out)."""
+        zx = zx.astype(self.dtype)
         if self.d_latent > 0:
             z = zx[..., : self.d_latent]
             x = zx[..., self.d_latent:]
         else:
             z = None
             x = zx
-        x = nn.Dense(self.d_hidden, kernel_init=_kaiming)(x)
+        x = nn.Dense(self.d_hidden, kernel_init=_kaiming, dtype=self.dtype)(x)
 
         for blkid in range(self.n_blocks):
             if blkid == self.combine_layer and num_views > 1:
@@ -68,10 +72,12 @@ class ResnetFC(nn.Module):
                     z = None  # latent already consumed before combine
             if z is not None and blkid < self.combine_layer:
                 x = x + nn.Dense(self.d_hidden, kernel_init=_kaiming,
-                                 name=f"lin_z_{blkid}")(z)
-            x = ResnetBlockFC(self.d_hidden)(x)
+                                 dtype=self.dtype, name=f"lin_z_{blkid}")(z)
+            x = ResnetBlockFC(self.d_hidden, dtype=self.dtype)(x)
 
-        out = nn.Dense(self.d_out, kernel_init=_kaiming)(nn.relu(x))
+        out = nn.Dense(self.d_out, kernel_init=_kaiming,
+                       dtype=self.dtype)(nn.relu(x))
+        out = out.astype(jnp.float32)
         if ret_last_feat:
-            return jnp.concatenate([out, x], axis=-1), x
+            return jnp.concatenate([out, x.astype(jnp.float32)], axis=-1), x
         return out, x
