@@ -5,11 +5,18 @@ Prints ONE JSON line:
   {"metric": "nerf_rays_per_sec", "value": N, "unit": "rays/s",
    "vs_baseline": N, ...extras}
 
+Timing methodology (important on this sandbox): the axon tunnel's
+block_until_ready does NOT synchronize with remote execution, and each
+dispatch costs ~25 ms of tunnel round trip. So each measurement runs
+`n_inner` iterations CHAINED inside one jitted lax.scan (true device time,
+one dispatch) and fetches a single scalar checksum; the per-call round-trip
+overhead (measured on a tiny op) is subtracted.
+
 Baseline: the reference publishes no numbers (BASELINE.md). The denominator
 is a documented estimate of the reference PyTorch renderer on one GPU:
-512-ray training chunks with 64+48 samples/ray through 4096-point MLP
-chunks (nerfact.conf:54,74-86) sustains ~1e5 rays/s on the class of GPU the
-scripts target; BASELINE.json's goal is >10x that per chip.
+512-ray chunks, 64+48 samples/ray, 4096-point MLP chunks
+(nerfact.conf:54,74-86) sustains ~1e5 rays/s; BASELINE.json's goal is >10x
+that per chip.
 """
 from __future__ import annotations
 
@@ -19,23 +26,44 @@ import time
 REFERENCE_RAYS_PER_SEC = 1.0e5  # documented estimate, see module docstring
 
 
-def bench_nerf_render(n_iters: int = 8):
+def _setup():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def measure_rt_overhead(jax, n: int = 5) -> float:
     import jax.numpy as jnp
+    f = jax.jit(lambda x: jnp.sum(x + 1.0))
+    x = jnp.zeros((8, 128))
+    float(f(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def bench_nerf_render(jax, rt: float, n_inner: int = 8,
+                      dtype: str = "bfloat16"):
+    import jax.numpy as jnp
+    import numpy as np
     from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
     from real_robot_nerf_actor_tpu.ops import gen_rays
     from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
-    import numpy as np
 
     cfg = RendererConfig(
         image_width=128, image_height=128, n_coarse=64, n_fine=32,
-        n_fine_depth=16, ray_chunk_size=512,
+        n_fine_depth=16,
         field=NerfFieldConfig(d_latent=64, d_embed=512, d_hidden=512,
-                              n_blocks=5, combine_layer=3))
+                              n_blocks=5, combine_layer=3,
+                              compute_dtype=dtype))
     r = NeuralRenderer(cfg)
     params = r.init_params(jax.random.key(0))
-    vox = jax.random.normal(jax.random.key(1), (1, 100, 100, 100, 64),
-                            jnp.bfloat16).astype(jnp.float32)
+    vox = jax.random.normal(jax.random.key(1), (1, 100, 100, 100, 64))
 
     pose = np.eye(4, dtype=np.float32)
     pose[2, 3] = 2.5
@@ -43,26 +71,34 @@ def bench_nerf_render(n_iters: int = 8):
                     jnp.asarray(112.0), cfg.z_near, cfg.z_far).reshape(-1, 8)
     n_rays = rays.shape[0]  # 16384
 
-    render = jax.jit(lambda p, v, rr, k: r.render_rays(p, v, rr, k))
-    out = render(params, vox, rays, jax.random.key(2))
-    jax.block_until_ready(out)
+    @jax.jit
+    def repeat_render(params, vox, rays, key):
+        def body(carry, k):
+            out = r.render_rays(params, vox, rays, k)
+            f = out["fine"]
+            chk = (jnp.sum(f.rgb) + jnp.sum(f.depth)).astype(jnp.float32)
+            return carry + chk, None
 
+        keys = jax.random.split(key, n_inner)
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return total
+
+    chk = float(repeat_render(params, vox, rays, jax.random.key(2)))  # warmup
+    assert chk == chk, "NaN checksum"
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = render(params, vox, rays, jax.random.key(3 + i))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
-    return n_rays / dt
+    float(repeat_render(params, vox, rays, jax.random.key(3)))
+    dt = time.perf_counter() - t0 - rt
+    return n_rays * n_inner / max(dt, 1e-9)
 
 
-def bench_policy(n_iters: int = 20):
-    import jax
+def bench_policy(jax, rt: float, n_inner: int = 10,
+                 dtype: str = "bfloat16"):
     import jax.numpy as jnp
     from real_robot_nerf_actor_tpu.models import PerceiverConfig, PerceiverIO
     from real_robot_nerf_actor_tpu.ops import choose_highest_action
 
     cfg = PerceiverConfig(depth=6, voxel_size=100, num_latents=2048,
-                          latent_dim=512)
+                          latent_dim=512, compute_dtype=dtype)
     net = PerceiverIO(cfg)
     v = cfg.voxel_size
     vox = jax.random.normal(jax.random.key(0), (1, v, v, v, cfg.initial_dim))
@@ -72,33 +108,50 @@ def bench_policy(n_iters: int = 20):
     params = net.init(jax.random.key(2), vox, proprio, lang)
 
     @jax.jit
-    def act(params, vox, proprio, lang):
-        q_trans, q_rot_grip, q_coll = net.apply(params, vox, proprio, lang)
-        return choose_highest_action(q_trans, q_rot_grip, q_coll)
+    def repeat_act(params, vox, proprio, lang):
+        def body(carry, i):
+            # perturb the input so iterations can't be CSE'd into one
+            q_trans, q_rot_grip, q_coll = net.apply(
+                params, vox + i.astype(vox.dtype) * 1e-6, proprio, lang)
+            coords, rot_grip, coll = choose_highest_action(
+                q_trans, q_rot_grip, q_coll)
+            return carry + jnp.sum(coords) + jnp.sum(rot_grip), None
 
-    out = act(params, vox, proprio, lang)
-    jax.block_until_ready(out)
+        total, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_inner))
+        return total
+
+    int(repeat_act(params, vox, proprio, lang))  # warmup/compile
+    t0 = time.perf_counter()
+    int(repeat_act(params, vox, proprio, lang))
+    dt = time.perf_counter() - t0 - rt
+    per_act = max(dt, 1e-9) / n_inner
+    # single-call p50 (includes the unavoidable dispatch round trip)
+    single = jax.jit(lambda p, v, pr, l: choose_highest_action(
+        *net.apply(p, v, pr, l)))
     lat = []
-    for _ in range(n_iters):
+    for _ in range(5):
         t0 = time.perf_counter()
-        out = act(params, vox, proprio, lang)
-        jax.block_until_ready(out)
+        c, rg, cl = single(params, vox, proprio, lang)
+        int(jnp.sum(c) + jnp.sum(rg))
         lat.append(time.perf_counter() - t0)
     lat.sort()
-    p50 = lat[len(lat) // 2]
-    return 1.0 / p50, p50 * 1000.0
+    return 1.0 / per_act, per_act * 1000.0, lat[len(lat) // 2] * 1000.0
 
 
 def main():
-    rays_per_sec = bench_nerf_render()
-    actions_per_sec, p50_ms = bench_policy()
+    jax = _setup()
+    rt = measure_rt_overhead(jax)
+    rays_per_sec = bench_nerf_render(jax, rt)
+    actions_per_sec, device_ms, e2e_p50_ms = bench_policy(jax, rt)
     print(json.dumps({
         "metric": "nerf_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
         "policy_actions_per_sec": round(actions_per_sec, 2),
-        "policy_p50_latency_ms": round(p50_ms, 2),
+        "policy_device_ms": round(device_ms, 2),
+        "policy_p50_latency_ms": round(e2e_p50_ms, 2),
+        "dispatch_rt_ms": round(rt * 1000.0, 2),
     }))
 
 

@@ -71,8 +71,10 @@ def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     colors = None
     if all(k in cols for k in ("red", "green", "blue")):
         rgb = np.stack([cols["red"], cols["green"], cols["blue"]], axis=-1)
-        colors = (rgb / 255.0).astype(np.float32) if rgb.dtype.kind in "ui" \
-            else rgb.astype(np.float32)
+        # scale by the DECLARED property type (ascii bodies parse as float)
+        declared = dict(props)["red"]
+        scale = {"u1": 255.0, "u2": 65535.0}.get(declared, 1.0)
+        colors = (rgb / scale).astype(np.float32)
     return pts, colors
 
 

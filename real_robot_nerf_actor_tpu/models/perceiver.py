@@ -64,6 +64,7 @@ class PerceiverConfig:
     return_voxel_feat: bool = False  # nerfact variant returns d0
     dropout_rate: float = 0.0
     compute_dtype: str = "float32"   # "float32" | "bfloat16"
+    use_flash_attention: bool = False  # Pallas flash kernel (TPU)
 
     @property
     def spatial_size(self) -> int:
@@ -86,6 +87,7 @@ class MHAttention(nn.Module):
     out_dim: int
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
@@ -101,13 +103,20 @@ class MHAttention(nn.Module):
             return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = map(split_heads, (q, k, v))
-        scale = self.dim_head ** -0.5
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k,
-                         preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
-        if self.dropout_rate > 0:
-            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        if self.use_flash and self.dropout_rate == 0:
+            from real_robot_nerf_actor_tpu.ops.attention_pallas import (
+                flash_attention)
+            out = flash_attention(q, k, v)
+        else:
+            scale = self.dim_head ** -0.5
+            sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                             preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(sim.astype(jnp.float32),
+                                  axis=-1).astype(v.dtype)
+            if self.dropout_rate > 0:
+                attn = nn.Dropout(self.dropout_rate)(
+                    attn, deterministic=deterministic)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], inner)
         return nn.Dense(self.out_dim, name="to_out",
                         dtype=self.dtype)(out).astype(jnp.float32)
@@ -133,13 +142,15 @@ class PreNormAttn(nn.Module):
     cross: bool = False
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
         xn = nn.LayerNorm()(x)
         cn = nn.LayerNorm(name="norm_context")(context) if self.cross else None
         return MHAttention(self.heads, self.dim_head, self.out_dim,
-                           self.dropout_rate, self.dtype)(xn, cn, deterministic)
+                           self.dropout_rate, self.dtype,
+                           self.use_flash)(xn, cn, deterministic)
 
 
 class PreNormFF(nn.Module):
@@ -202,18 +213,21 @@ class PerceiverIO(nn.Module):
 
         x = PreNormAttn(c.cross_heads, c.cross_dim_head, c.latent_dim,
                         cross=True, dropout_rate=c.dropout_rate, dtype=dt,
+                        use_flash=c.use_flash_attention,
                         name="cross_attend")(x, seq, deterministic) + x
         x = PreNormFF(c.latent_dim, dtype=dt, name="cross_ff")(x) + x
 
         for i in range(c.depth):
             x = PreNormAttn(c.latent_heads, c.latent_dim_head, c.latent_dim,
                             dropout_rate=c.dropout_rate, dtype=dt,
+                            use_flash=c.use_flash_attention,
                             name=f"self_attn_{i}")(x, None, deterministic) + x
             x = PreNormFF(c.latent_dim, dtype=dt, name=f"self_ff_{i}")(x) + x
 
         # ---- decoder cross attention back to the token sequence
         dec = PreNormAttn(c.cross_heads, c.cross_dim_head,
                           c.input_dim_before_seq, cross=True, dtype=dt,
+                          use_flash=c.use_flash_attention,
                           name="decoder_cross_attn")(seq, x, deterministic)
         dec = dec[:, c.lang_max_seq_len:]                  # drop language tokens
         dec = dec.reshape(b, s, s, s, c.input_dim_before_seq)
