@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""NeRF-Actor joint training driver (reference train_nerfact_* family):
+PerAct BC + lambda_nerf * neural-rendering loss on the policy voxel features.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None, help="YAML/JSON NerfActConfig")
+    ap.add_argument("-o", "--override", action="append", default=[])
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    import dataclasses
+    from real_robot_nerf_actor_tpu.train import NerfActConfig, NerfActTrainer
+    from real_robot_nerf_actor_tpu.utils.config import load_config
+
+    cfg = load_config(NerfActConfig, args.config, args.override)
+    tcfg = cfg.peract.train
+    if args.steps is not None:
+        tcfg = dataclasses.replace(tcfg, num_steps=args.steps)
+    tcfg = dataclasses.replace(tcfg, ckpt_dir=args.ckpt_dir or tcfg.ckpt_dir,
+                               log_dir=args.log_dir or tcfg.log_dir)
+    cfg = dataclasses.replace(
+        cfg, peract=dataclasses.replace(cfg.peract, train=tcfg))
+
+    tr = NerfActTrainer(cfg)
+    trainer = tr.make_trainer(tr.synthetic_data(batch_size=args.batch_size))
+    trainer.run(resume=not args.no_resume)
+
+
+if __name__ == "__main__":
+    main()
