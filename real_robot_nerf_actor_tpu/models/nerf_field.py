@@ -86,9 +86,11 @@ class VoxelNerfField(nn.Module):
 
     def __call__(self, voxel_feat: jnp.ndarray, xyz: jnp.ndarray,
                  viewdirs: Optional[jnp.ndarray] = None, coarse: bool = True,
-                 ret_last_feat: bool = False):
-        """voxel_feat: (SB, V, V, V, d_latent) channel-last feature grid.
-        xyz: (SB, B, 3) world points; viewdirs: (SB, B, 3).
+                 ret_last_feat: bool = False, expanded: bool = False):
+        """voxel_feat: (SB, V, V, V, d_latent) channel-last feature grid —
+        or its corner-expanded (SB, V, V, V, 8*d_latent) form when
+        expanded=True (ops.grid_sample.expand_corners; one TPU gather
+        instead of eight). xyz: (SB, B, 3) world points; viewdirs: (SB, B, 3).
         Returns dict with rgb (SB,B,3), sigma (SB,B), embed (SB,B,d_embed)
         [, coord_residual, attention, last_feat]."""
         c = self.cfg
@@ -96,7 +98,9 @@ class VoxelNerfField(nn.Module):
         canon = self.world_to_canonical(xyz)
         canon = jax.lax.stop_gradient(canon)
 
-        latent = sample_in_canonical_voxel(voxel_feat, canon)  # (SB, B, dl)
+        latent = sample_in_canonical_voxel(
+            voxel_feat, canon, expanded=expanded,
+            out_channels=c.d_latent)  # (SB, B, dl)
 
         feat = canon
         if c.use_code:

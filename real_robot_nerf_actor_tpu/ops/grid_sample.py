@@ -76,12 +76,103 @@ def grid_sample_3d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return c0 * (1 - tz) + c1 * tz
 
 
-def sample_in_canonical_voxel(voxel_feat: jnp.ndarray, canon_xyz: jnp.ndarray) -> jnp.ndarray:
+def expand_corners(grid: jnp.ndarray) -> jnp.ndarray:
+    """Pre-expand a voxel grid for single-gather trilinear sampling.
+
+    TPU gathers cost ~constant time per ROW regardless of row size (up to
+    ~1-2 KB), so 8 corner gathers of C channels are ~8x slower than ONE
+    gather of 8C channels. This packs each voxel's 2x2x2 neighborhood
+    (zero-padded at the +1 border) into its row:
+
+    grid (B, D, H, W, C) -> (B, D+1, H+1, W+1, 8C): row (i,j,k) holds the
+    2x2x2 neighborhood of BASE voxel (i-1, j-1, k-1) (one row of zero
+    padding at the low end so base index -1 — a point just below the grid
+    whose +1 corner is still inside — resolves correctly). Corner order
+    (dz, dy, dx) with dx minor: block c = dz*4 + dy*2 + dx.
+
+    Memory: ~8x the grid (e.g. 100^3 x 64ch bf16 -> ~1 GB) — an HBM-for-
+    latency trade; build once per render, reuse across coarse/fine passes.
+    """
+    b, d, h, w, c = grid.shape
+    padded = jnp.pad(grid, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    blocks = [
+        padded[:, dz:dz + d + 1, dy:dy + h + 1, dx:dx + w + 1]
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    ]
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def grid_sample_3d_fused(expanded: jnp.ndarray, coords: jnp.ndarray,
+                         out_channels: int) -> jnp.ndarray:
+    """Trilinear sample from a corner-expanded grid with ONE gather.
+
+    expanded: (B, D+1, H+1, W+1, 8C) from expand_corners over a (D, H, W)
+    grid; coords: (B, N, 3) in [-1, 1] (torch convention, x indexes W).
+    out_channels = C. Numerically identical to grid_sample_3d on the
+    original grid.
+    """
+    b, dp, hp, wp, c8 = expanded.shape
+    d, h, w = dp - 1, hp - 1, wp - 1
+    c = out_channels
+    x = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+    z = (coords[..., 2] + 1.0) * 0.5 * (d - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    tx = (x - x0)[..., None].astype(expanded.dtype)
+    ty = (y - y0)[..., None].astype(expanded.dtype)
+    tz = (z - z0)[..., None].astype(expanded.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+
+    # row (i+1) holds base i; base clipped to [-1, D-1] — masks (computed
+    # from UNCLIPPED indices) zero out anything farther out of range
+    x0c = jnp.clip(x0i, -1, w - 1) + 1
+    y0c = jnp.clip(y0i, -1, h - 1) + 1
+    z0c = jnp.clip(z0i, -1, d - 1) + 1
+    flat = (z0c * hp + y0c) * wp + x0c
+    rows = jnp.take_along_axis(
+        expanded.reshape(b, dp * hp * wp, c8), flat[..., None], axis=1)
+    rows = rows.reshape(*flat.shape, 8, c)
+
+    def mask(zi, yi, xi):
+        inb = ((zi >= 0) & (zi < d) & (yi >= 0) & (yi < h)
+               & (xi >= 0) & (xi < w))
+        return inb[..., None].astype(expanded.dtype)
+
+    # corner c = dz*4 + dy*2 + dx
+    c000 = rows[..., 0, :] * mask(z0i, y0i, x0i)
+    c001 = rows[..., 1, :] * mask(z0i, y0i, x0i + 1)
+    c010 = rows[..., 2, :] * mask(z0i, y0i + 1, x0i)
+    c011 = rows[..., 3, :] * mask(z0i, y0i + 1, x0i + 1)
+    c100 = rows[..., 4, :] * mask(z0i + 1, y0i, x0i)
+    c101 = rows[..., 5, :] * mask(z0i + 1, y0i, x0i + 1)
+    c110 = rows[..., 6, :] * mask(z0i + 1, y0i + 1, x0i)
+    c111 = rows[..., 7, :] * mask(z0i + 1, y0i + 1, x0i + 1)
+
+    c00 = c000 * (1 - tx) + c001 * tx
+    c01 = c010 * (1 - tx) + c011 * tx
+    c10 = c100 * (1 - tx) + c101 * tx
+    c11 = c110 * (1 - tx) + c111 * tx
+    c0 = c00 * (1 - ty) + c01 * ty
+    c1 = c10 * (1 - ty) + c11 * ty
+    return c0 * (1 - tz) + c1 * tz
+
+
+def sample_in_canonical_voxel(voxel_feat: jnp.ndarray, canon_xyz: jnp.ndarray,
+                              expanded: bool = False,
+                              out_channels: int = 0) -> jnp.ndarray:
     """Sample a channel-last voxel feature grid at canonical [0,1]^3 points.
 
-    voxel_feat: (B, V, V, V, C); canon_xyz: (B, N, 3) in [0, 1].
-    Returns (B, N, C). Mirrors models_embed.py:259-293 (coords scaled to
-    [-1,1], torch xyz/W-axis convention preserved).
+    voxel_feat: (B, V, V, V, C) — or the corner-expanded (B, V, V, V, 8C)
+    grid when expanded=True (then out_channels must be C).
+    canon_xyz: (B, N, 3) in [0, 1]. Returns (B, N, C). Mirrors
+    models_embed.py:259-293 (coords scaled to [-1,1], torch xyz/W-axis
+    convention preserved).
     """
     coords = canon_xyz * 2.0 - 1.0
+    if expanded:
+        return grid_sample_3d_fused(voxel_feat, coords, out_channels)
     return grid_sample_3d(voxel_feat, coords)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from real_robot_nerf_actor_tpu.models.nerf_field import (
     NerfFieldConfig, VoxelNerfField)
+from real_robot_nerf_actor_tpu.ops.grid_sample import expand_corners
 from real_robot_nerf_actor_tpu.ops.compositing import CompositeOut, composite
 from real_robot_nerf_actor_tpu.ops.rays import gen_rays
 from real_robot_nerf_actor_tpu.ops.sampling import (
@@ -55,6 +56,7 @@ class RendererConfig:
     render_tile: int = 4096         # rays per tile in full-image render
     lambda_embed: float = 0.01
     lambda_depth: float = 0.0
+    fused_gather: bool = True   # corner-expand the grid: 1 TPU gather not 8
     field: NerfFieldConfig = dataclasses.field(default_factory=NerfFieldConfig)
 
     @property
@@ -77,17 +79,19 @@ class NeuralRenderer:
         return self.field.init(key, vox, xyz, dirs)
 
     # ------------------------------------------------------------------ core
-    def _eval_pass(self, params, voxel_feat, rays, z_samp, coarse, key):
+    def _eval_pass(self, params, voxel_feat, rays, z_samp, coarse, key,
+                   pre_expanded=False):
         """Evaluate the field at (rays x z_samp) and composite.
 
-        rays: (R, 8); z_samp: (R, K); voxel_feat: (1, V,V,V, C).
+        rays: (R, 8); z_samp: (R, K); voxel_feat: (1, V,V,V, C) — or the
+        corner-expanded (1, V,V,V, 8C) grid when pre_expanded.
         """
         r, k = z_samp.shape
         pts = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
         dirs = jnp.broadcast_to(rays[:, None, 3:6], pts.shape)
         out = self.field.apply(
             params, voxel_feat, pts.reshape(1, r * k, 3),
-            dirs.reshape(1, r * k, 3), coarse=coarse)
+            dirs.reshape(1, r * k, 3), coarse=coarse, expanded=pre_expanded)
         rgbs = out["rgb"].reshape(r, k, 3)
         sigmas = out["sigma"].reshape(r, k)
         embeds = out["embed"].reshape(r, k, -1)
@@ -96,15 +100,20 @@ class NeuralRenderer:
         return composite(z_samp, rays, rgbs, sigmas, embeds,
                          white_bkgd=self.cfg.white_bkgd)
 
-    def render_rays(self, params, voxel_feat, rays, key) -> dict:
+    def render_rays(self, params, voxel_feat, rays, key,
+                    pre_expanded: bool = False) -> dict:
         """Full coarse+fine render of a flat ray batch.
 
         rays: (R, 8). Returns {'coarse': CompositeOut, 'fine': CompositeOut}.
         """
         c = self.cfg
+        if c.fused_gather and not pre_expanded:
+            voxel_feat = expand_corners(voxel_feat)
+            pre_expanded = True
         k_coarse, k_fine, k_fdepth, k_n1, k_n2 = jax.random.split(key, 5)
         z_coarse = sample_coarse(k_coarse, rays, c.n_coarse, c.lindisp)
-        coarse = self._eval_pass(params, voxel_feat, rays, z_coarse, True, k_n1)
+        coarse = self._eval_pass(params, voxel_feat, rays, z_coarse, True,
+                                 k_n1, pre_expanded)
         out = {"coarse": coarse}
         if c.using_fine:
             samps = [z_coarse]
@@ -118,7 +127,7 @@ class NeuralRenderer:
                     c.n_fine_depth, c.depth_std))
             z_all = jnp.sort(jnp.concatenate(samps, axis=-1), axis=-1)
             out["fine"] = self._eval_pass(params, voxel_feat, rays, z_all,
-                                          False, k_n2)
+                                          False, k_n2, pre_expanded)
         return out
 
     # ------------------------------------------------------------- full image
@@ -132,6 +141,8 @@ class NeuralRenderer:
         h, w = cfg.image_height, cfg.image_width
         rays = gen_rays(tgt_pose, w, h, focal, cfg.z_near, cfg.z_far,
                         c=c_principal).reshape(-1, 8)
+        if cfg.fused_gather:
+            voxel_feat = expand_corners(voxel_feat)
         n = rays.shape[0]
         tile = min(cfg.render_tile, n)
         n_pad = (-n) % tile
@@ -143,7 +154,8 @@ class NeuralRenderer:
 
         def one_tile(args):
             rr, kk = args
-            o = self.render_rays(params, voxel_feat, rr, kk)
+            o = self.render_rays(params, voxel_feat, rr, kk,
+                                 pre_expanded=cfg.fused_gather)
             f = o.get("fine", o["coarse"])
             return f.rgb, f.embed, f.depth
 

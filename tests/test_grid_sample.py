@@ -44,3 +44,19 @@ def test_sample_in_canonical_voxel():
     got = sample_in_canonical_voxel(jnp.asarray(vox.transpose(0, 2, 3, 4, 1)),
                                     jnp.asarray(canon))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_corner_gather_matches_multi():
+    """expand_corners + single-gather path == 8-gather path (exact)."""
+    from real_robot_nerf_actor_tpu.ops.grid_sample import (
+        expand_corners, grid_sample_3d_fused)
+    rng = np.random.default_rng(5)
+    b, d, h, w, c = 2, 6, 5, 7, 4
+    grid = jnp.asarray(rng.standard_normal((b, d, h, w, c)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-1.3, 1.3, (b, 300, 3)), jnp.float32)
+    want = grid_sample_3d(grid, coords)
+    exp = expand_corners(grid)
+    assert exp.shape == (b, d + 1, h + 1, w + 1, 8 * c)
+    got = grid_sample_3d_fused(exp, coords, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
