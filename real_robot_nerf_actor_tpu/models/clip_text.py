@@ -24,6 +24,32 @@ import numpy as np
 from flax import linen as nn
 
 
+def tokenize_simple(texts, context_length: int = 77,
+                    vocab_size: int = 49408) -> np.ndarray:
+    """Deterministic stand-in tokenizer with CLIP's framing (SOT ... EOT,
+    zero-padded, EOT has the highest id so argmax pooling works).
+
+    The real CLIP BPE needs its merges file (not bundled, zero-egress);
+    this hashes whitespace tokens into the vocab range. Swap in a real BPE
+    via any callable with the same (texts) -> (B, 77) int32 contract when
+    converting pretrained CLIP weights.
+    """
+    if isinstance(texts, str):
+        texts = [texts]
+    sot, eot = vocab_size - 2, vocab_size - 1
+    out = np.zeros((len(texts), context_length), np.int64)
+    for i, t in enumerate(texts):
+        ids = [sot]
+        for w in t.lower().strip().split():
+            h = 0
+            for ch in w:
+                h = (h * 131 + ord(ch)) % (vocab_size - 3)
+            ids.append(1 + h)
+        ids = ids[: context_length - 1] + [eot]
+        out[i, : len(ids)] = ids
+    return out.astype(np.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class ClipTextConfig:
     vocab_size: int = 49408

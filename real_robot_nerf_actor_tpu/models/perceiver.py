@@ -65,6 +65,7 @@ class PerceiverConfig:
     dropout_rate: float = 0.0
     compute_dtype: str = "float32"   # "float32" | "bfloat16"
     use_flash_attention: bool = False  # Pallas flash kernel (TPU)
+    upsample_mode: str = "subpixel"  # "subpixel" (TPU) | "trilinear" (ref)
 
     @property
     def spatial_size(self) -> int:
@@ -237,6 +238,7 @@ class PerceiverIO(nn.Module):
         # ---- upsample + UNet-style skip + heads
         u0 = Conv3DUpsampleBlock(c.final_dim, c.voxel_patch_size,
                                  c.voxel_patch_size, c.activation, dtype=dt,
+                                 mode=c.upsample_mode,
                                  name="up0")(dec)           # (B, V,V,V, 64)
         u = Conv3DBlock(c.im_channels, 3, 1, c.activation, dtype=dt,
                         name="final")(jnp.concatenate([d0, u0], axis=-1))

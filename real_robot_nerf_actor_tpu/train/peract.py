@@ -171,25 +171,38 @@ class PerActTrainer:
 
     # ---------------------------------------------------------------- data
     def synthetic_data(self, batch_size: int = 1, seed: int = 0,
-                       lang_embs: Optional[np.ndarray] = None
+                       lang_embs: Optional[np.ndarray] = None,
+                       n_tasks: int = 1, n_kitchens: int = 1
                        ) -> Iterator[Dict[str, jnp.ndarray]]:
-        """Host-side generator over synthetic keyframe demos (replay-style)."""
+        """Host-side generator over synthetic keyframe demos (replay-style).
+
+        n_tasks / n_kitchens > 1 reproduce the reference's multi-task /
+        multi-kitchen trainers as data configs (each (kitchen, task) pair
+        gets its own scene/demo and language embedding — the reference
+        treats per-task CLIP features as constants,
+        train_nerfact_multi_kitchen.py:1080-1253)."""
         c = self.cfg
         rng = np.random.default_rng(seed)
-        scene = make_synthetic_scene(seed=seed)
-        demo = make_synthetic_demo(scene, seed=seed)
-        pts, cols, valid = pad_point_cloud(
-            PointCloudSample(scene.points, scene.colors),
-            c.voxelizer.max_num_coords)
-        if lang_embs is None:
-            lang_embs = rng.standard_normal(
-                (c.model.lang_max_seq_len, c.model.lang_emb_dim)).astype(
-                    np.float32)
-        n_key = demo.num_keyframes - 1
+        combos = []
+        for kitchen in range(n_kitchens):
+            scene = make_synthetic_scene(seed=seed + 101 * kitchen)
+            pts, cols, valid = pad_point_cloud(
+                PointCloudSample(scene.points, scene.colors),
+                c.voxelizer.max_num_coords)
+            for task in range(n_tasks):
+                demo = make_synthetic_demo(scene, seed=seed + 7 * task)
+                le = (lang_embs if lang_embs is not None else
+                      np.random.default_rng(1000 + task).standard_normal(
+                          (c.model.lang_max_seq_len, c.model.lang_emb_dim)
+                      ).astype(np.float32))
+                combos.append((pts, cols, valid, demo, le))
         while True:
             out = {k: [] for k in ("points", "colors", "valid", "proprio",
                                    "lang", "kf_xyz", "rot_grip", "collision")}
             for _ in range(batch_size):
+                pts, cols, valid, demo, lang_embs_i = combos[
+                    int(rng.integers(0, len(combos)))]
+                n_key = demo.num_keyframes - 1
                 i = int(rng.integers(0, n_key))
                 nxt = discretize_action(
                     jnp.asarray(demo.xyz[i + 1])[None],
@@ -210,7 +223,7 @@ class PerActTrainer:
                 out["colors"].append(cols)
                 out["valid"].append(valid)
                 out["proprio"].append(proprio)
-                out["lang"].append(lang_embs)
+                out["lang"].append(lang_embs_i)
                 out["kf_xyz"].append(np.stack([demo.xyz[i], demo.xyz[i + 1]]))
                 out["rot_grip"].append(np.asarray(nxt.rot_grip[0]))
                 out["collision"].append(np.asarray(nxt.collision[0]))

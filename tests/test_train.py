@@ -105,3 +105,32 @@ def test_nerfact_joint_step():
         assert np.isfinite(float(m["loss_total"]))
         assert np.isfinite(float(m["psnr"]))
     assert float(m2["loss_total"]) < float(m1["loss_total"]) * 1.5
+
+
+def test_multitask_multikitchen_data():
+    """Multi-task/kitchen variants are data configs (distinct language
+    embeddings and scenes per combo)."""
+    cfg = tiny_peract()
+    tr = PerActTrainer(cfg)
+    gen = _truncate_points(tr.synthetic_data(batch_size=8, n_tasks=3,
+                                             n_kitchens=2))
+    b = next(gen)
+    assert b["lang"].shape[0] == 8
+    # at least two distinct language embeddings appear in a batch of 8
+    langs = np.asarray(b["lang"]).reshape(8, -1)
+    assert len(np.unique(langs.round(4), axis=0)) >= 2
+    state = tr.init_state(jax.random.key(0))
+    state, m = jax.jit(tr.train_step)(state, b, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_tokenize_simple():
+    from real_robot_nerf_actor_tpu.models.clip_text import tokenize_simple
+    toks = tokenize_simple(["turn the faucet", "open the top oven door"])
+    assert toks.shape == (2, 77)
+    assert (toks[:, 0] == 49406).all()           # SOT
+    assert (toks == 49407).sum() == 2            # one EOT each
+    assert np.argmax(toks[0]) == 4               # EOT position after 3 words
+    # deterministic
+    np.testing.assert_array_equal(toks, tokenize_simple(
+        ["turn the faucet", "open the top oven door"]))
