@@ -148,9 +148,49 @@ class NerfActTrainer(PerActTrainer):
                 np.broadcast_to(gt_embed, (batch_size, h, w, d_embed)).copy())
             yield batch
 
-    def make_trainer(self, data: Optional[Iterator] = None) -> Trainer:
+    # ---------------------------------------------------------------- eval
+    def render_eval(self, state: TrainState, step: int,
+                    batch: Optional[Dict] = None,
+                    save_dir: Optional[str] = None) -> Dict[str, float]:
+        """Periodic full-image render check (the reference's every-2000-iter
+        eval, train_nerfact_multi_kitchen.py:1416-1437): render the gt view
+        from the current policy's voxel features, save a comparison panel,
+        return PSNR."""
+        import numpy as np
+        from real_robot_nerf_actor_tpu.eval.metrics import psnr_np
+        from real_robot_nerf_actor_tpu.ops import voxelize
+
+        c = self.cfg
+        if batch is None:
+            batch = next(self.synthetic_data(batch_size=1))
+        vox = voxelize(batch["points"], batch["colors"], self.bounds,
+                       c.voxelizer, valid=batch["valid"])
+        out, _ = self._forward(state.params["policy"], state.extra, vox,
+                               batch["proprio"], batch["lang"], train=False)
+        voxel_feat = out[3]
+        rgb, embed, depth = self.renderer.render_image(
+            {"params": state.params["nerf"]}, voxel_feat[:1],
+            batch["gt_pose"][:1], batch["focal"][0], jax.random.key(step))
+        gt = np.asarray(batch["gt_rgb"][0])
+        p = psnr_np(np.asarray(rgb), gt)
+        if save_dir:
+            import os
+            from real_robot_nerf_actor_tpu.utils.visualize import (
+                save_render_panel)
+            os.makedirs(save_dir, exist_ok=True)
+            save_render_panel(
+                os.path.join(save_dir, f"render_{step:06d}.png"), gt,
+                np.asarray(rgb), depth=np.asarray(depth),
+                embed=np.asarray(embed), psnr=p)
+        return {"eval_psnr": p}
+
+    def make_trainer(self, data: Optional[Iterator] = None,
+                     eval_save_dir: Optional[str] = None) -> Trainer:
+        eval_fn = (lambda state, step: self.render_eval(
+            state, step, save_dir=eval_save_dir))
         return Trainer(self.cfg.train, self.train_step,
-                       data or self.synthetic_data(), self.init_state)
+                       data or self.synthetic_data(), self.init_state,
+                       eval_fn=eval_fn)
 
 
 def _splat_view(scene, pose: np.ndarray, h: int, w: int, focal: float

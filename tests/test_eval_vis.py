@@ -80,3 +80,54 @@ def test_visualizers(tmp_path):
                       depth=rng.uniform(1, 2, (16, 16)),
                       embed=rng.standard_normal((16, 16, 8)), psnr=21.2)
     assert os.path.getsize(p2) > 1000
+
+
+def test_video_recorder(tmp_path):
+    from real_robot_nerf_actor_tpu.utils.video import VideoRecorder
+    vr = VideoRecorder(str(tmp_path), fps=5)
+    vr.init()
+    for i in range(4):
+        vr.record_frame(np.full((8, 8, 3), i * 60, np.uint8))
+    p = vr.save("ep0")
+    assert p and os.path.getsize(p) > 100
+    p2 = vr.save_frames_npz("ep0")
+    assert np.load(p2)["frames"].shape == (4, 8, 8, 3)
+
+
+def test_nerfact_render_eval(tmp_path):
+    import jax
+    from tests.test_train import tiny_peract, _truncate_points, BOUNDS
+    from real_robot_nerf_actor_tpu.models import PerceiverConfig
+    from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
+    from real_robot_nerf_actor_tpu.ops import VoxelizerSpec
+    from real_robot_nerf_actor_tpu.render import RendererConfig
+    from real_robot_nerf_actor_tpu.train import NerfActConfig, NerfActTrainer
+    from real_robot_nerf_actor_tpu.train.trainer import OptimConfig, TrainConfig
+    cfg = NerfActConfig(
+        peract=tiny_peract().__class__(
+            model=PerceiverConfig(depth=1, voxel_size=10, num_latents=8,
+                                  latent_dim=16, im_channels=8,
+                                  cross_dim_head=8, latent_dim_head=8,
+                                  latent_heads=1, voxel_patch_size=5,
+                                  final_dim=8, lang_emb_dim=8,
+                                  lang_max_seq_len=4,
+                                  input_encoder="unet",
+                                  return_voxel_feat=True),
+            voxelizer=VoxelizerSpec(voxel_size=10, feature_size=3,
+                                    max_num_coords=1500),
+            coord_bounds=BOUNDS,
+            train=TrainConfig(num_steps=1, optim=OptimConfig(lr=1e-3))),
+        renderer=RendererConfig(
+            image_width=8, image_height=6, n_coarse=4, n_fine=2,
+            n_fine_depth=0, ray_chunk_size=8, render_tile=16,
+            field=NerfFieldConfig(d_latent=8, d_embed=4, d_hidden=16,
+                                  n_blocks=2, combine_layer=1,
+                                  coord_bounds=BOUNDS)))
+    tr = NerfActTrainer(cfg)
+    state = tr.init_state(jax.random.key(0))
+    batch = next(tr.synthetic_data(batch_size=1))
+    batch = {k: (v[:, :1500] if k in ("points", "colors", "valid") else v)
+             for k, v in batch.items()}
+    m = tr.render_eval(state, 1, batch=batch, save_dir=str(tmp_path))
+    assert np.isfinite(m["eval_psnr"])
+    assert os.path.exists(str(tmp_path / "render_000001.png"))
