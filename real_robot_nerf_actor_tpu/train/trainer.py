@@ -29,6 +29,7 @@ class OptimConfig:
     # 'adamw' matches the reference Adam(lr=1e-4, weight_decay=1e-6)
     name: str = "adamw"
     lr_decay_rate: float = 0.0   # exponential decay per step (0 = constant)
+    accum_steps: int = 1         # gradient accumulation (trainlib parity)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +65,8 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         raise ValueError(f"unknown optimizer {cfg.name!r}")
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
     return tx
 
 
