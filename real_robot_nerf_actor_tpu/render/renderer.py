@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from real_robot_nerf_actor_tpu.models.nerf_field import (
     NerfFieldConfig, VoxelNerfField)
 from real_robot_nerf_actor_tpu.ops.grid_sample import expand_corners
-from real_robot_nerf_actor_tpu.ops.compositing import CompositeOut, composite
+from real_robot_nerf_actor_tpu.ops.compositing import (
+    CompositeOut, composite, composite_unsorted)
 from real_robot_nerf_actor_tpu.ops.rays import gen_rays
 from real_robot_nerf_actor_tpu.ops.sampling import (
     sample_coarse, sample_fine, sample_fine_depth)
@@ -57,6 +58,7 @@ class RendererConfig:
     lambda_embed: float = 0.01
     lambda_depth: float = 0.0
     fused_gather: bool = True   # corner-expand the grid: 1 TPU gather not 8
+    reuse_coarse: bool = True   # fine pass reuses coarse MLP evaluations
     field: NerfFieldConfig = dataclasses.field(default_factory=NerfFieldConfig)
 
     @property
@@ -79,13 +81,9 @@ class NeuralRenderer:
         return self.field.init(key, vox, xyz, dirs)
 
     # ------------------------------------------------------------------ core
-    def _eval_pass(self, params, voxel_feat, rays, z_samp, coarse, key,
-                   pre_expanded=False):
-        """Evaluate the field at (rays x z_samp) and composite.
-
-        rays: (R, 8); z_samp: (R, K); voxel_feat: (1, V,V,V, C) — or the
-        corner-expanded (1, V,V,V, 8C) grid when pre_expanded.
-        """
+    def _eval_points(self, params, voxel_feat, rays, z_samp, coarse, key,
+                     pre_expanded=False):
+        """Evaluate the field at (rays x z_samp) -> (rgbs, sigmas, embeds)."""
         r, k = z_samp.shape
         pts = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
         dirs = jnp.broadcast_to(rays[:, None, 3:6], pts.shape)
@@ -97,6 +95,17 @@ class NeuralRenderer:
         embeds = out["embed"].reshape(r, k, -1)
         if self.cfg.noise_std > 0.0 and key is not None:
             sigmas = sigmas + jax.random.normal(key, sigmas.shape) * self.cfg.noise_std
+        return rgbs, sigmas, embeds
+
+    def _eval_pass(self, params, voxel_feat, rays, z_samp, coarse, key,
+                   pre_expanded=False):
+        """Evaluate the field at (rays x z_samp) and composite.
+
+        rays: (R, 8); z_samp: (R, K) SORTED; voxel_feat: (1, V,V,V, C) — or
+        the corner-expanded (1, V,V,V, 8C) grid when pre_expanded.
+        """
+        rgbs, sigmas, embeds = self._eval_points(
+            params, voxel_feat, rays, z_samp, coarse, key, pre_expanded)
         return composite(z_samp, rays, rgbs, sigmas, embeds,
                          white_bkgd=self.cfg.white_bkgd)
 
@@ -112,22 +121,41 @@ class NeuralRenderer:
             pre_expanded = True
         k_coarse, k_fine, k_fdepth, k_n1, k_n2 = jax.random.split(key, 5)
         z_coarse = sample_coarse(k_coarse, rays, c.n_coarse, c.lindisp)
-        coarse = self._eval_pass(params, voxel_feat, rays, z_coarse, True,
-                                 k_n1, pre_expanded)
+        vals_c = self._eval_points(params, voxel_feat, rays, z_coarse, True,
+                                   k_n1, pre_expanded)
+        coarse = composite(z_coarse, rays, *vals_c,
+                           white_bkgd=c.white_bkgd)
         out = {"coarse": coarse}
         if c.using_fine:
-            samps = [z_coarse]
+            new = []
             if c.n_fine - c.n_fine_depth > 0:
-                samps.append(sample_fine(k_fine, rays, coarse.weights,
-                                         c.n_fine - c.n_fine_depth,
-                                         c.n_coarse, c.lindisp))
+                new.append(sample_fine(k_fine, rays, coarse.weights,
+                                       c.n_fine - c.n_fine_depth,
+                                       c.n_coarse, c.lindisp))
             if c.n_fine_depth > 0:
-                samps.append(sample_fine_depth(
+                new.append(sample_fine_depth(
                     k_fdepth, rays, jax.lax.stop_gradient(coarse.depth),
                     c.n_fine_depth, c.depth_std))
-            z_all = jnp.sort(jnp.concatenate(samps, axis=-1), axis=-1)
-            out["fine"] = self._eval_pass(params, voxel_feat, rays, z_all,
-                                          False, k_n2, pre_expanded)
+            z_new = jnp.concatenate(new, axis=-1)
+            if c.reuse_coarse and self.field.share_mlp:
+                # evaluate ONLY the new samples; merge with the coarse
+                # pass's values and composite order-independently (exact —
+                # the reference re-evaluates all Kc+Kf points)
+                vals_n = self._eval_points(params, voxel_feat, rays, z_new,
+                                           False, k_n2, pre_expanded)
+                z_all = jnp.concatenate([z_coarse, z_new], axis=-1)
+                rgbs = jnp.concatenate([vals_c[0], vals_n[0]], axis=-2)
+                sigmas = jnp.concatenate([vals_c[1], vals_n[1]], axis=-1)
+                embeds = jnp.concatenate([vals_c[2], vals_n[2]], axis=-2)
+                out["fine"] = composite_unsorted(
+                    z_all, rays, rgbs, sigmas, embeds,
+                    white_bkgd=c.white_bkgd)
+            else:
+                z_all = jnp.sort(
+                    jnp.concatenate([z_coarse, z_new], axis=-1), axis=-1)
+                out["fine"] = self._eval_pass(params, voxel_feat, rays,
+                                              z_all, False, k_n2,
+                                              pre_expanded)
         return out
 
     # ------------------------------------------------------------- full image

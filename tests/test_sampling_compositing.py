@@ -102,3 +102,58 @@ def test_se3_aug_consistency():
     from real_robot_nerf_actor_tpu.ops.geometry import point_to_voxel_index
     want = point_to_voxel_index(kf + out.shift[None], 100, bounds)
     np.testing.assert_array_equal(np.asarray(out.action_trans), np.asarray(want))
+
+
+def test_composite_unsorted_matches_sorted():
+    from real_robot_nerf_actor_tpu.ops.compositing import composite_unsorted
+    rng = np.random.default_rng(3)
+    b, k = 8, 12
+    rays = _rays(b)
+    z = jnp.asarray(rng.uniform(1.2, 4.0, (b, k)), jnp.float32)
+    rgbs = jnp.asarray(rng.uniform(0, 1, (b, k, 3)), jnp.float32)
+    sig = jnp.asarray(rng.exponential(1.0, (b, k)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((b, k, 5)), jnp.float32)
+
+    order = jnp.argsort(z, axis=-1)
+    zs = jnp.take_along_axis(z, order, -1)
+    sorted_out = composite(zs, rays,
+                           jnp.take_along_axis(rgbs, order[..., None], -2),
+                           jnp.take_along_axis(sig, order, -1),
+                           jnp.take_along_axis(emb, order[..., None], -2))
+    unsorted_out = composite_unsorted(z, rays, rgbs, sig, emb)
+    np.testing.assert_allclose(np.asarray(unsorted_out.rgb),
+                               np.asarray(sorted_out.rgb), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(unsorted_out.depth),
+                               np.asarray(sorted_out.depth), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(unsorted_out.embed),
+                               np.asarray(sorted_out.embed), rtol=1e-4, atol=1e-5)
+
+
+def test_render_reuse_coarse_matches_reeval():
+    """reuse_coarse fine pass == reference-style full re-evaluation."""
+    import dataclasses
+    import jax
+    from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
+    from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
+    base = RendererConfig(n_coarse=6, n_fine=4, n_fine_depth=2,
+                          fused_gather=False,
+                          field=NerfFieldConfig(
+                              d_latent=4, d_embed=4, d_hidden=16, n_blocks=2,
+                              combine_layer=1,
+                              coord_bounds=(-1., -1., -1., 1., 1., 1.)))
+    r1 = NeuralRenderer(dataclasses.replace(base, reuse_coarse=True))
+    r2 = NeuralRenderer(dataclasses.replace(base, reuse_coarse=False))
+    params = r1.init_params(jax.random.key(0))
+    vox = jax.random.normal(jax.random.key(1), (1, 4, 4, 4, 4))
+    rays = jnp.concatenate([
+        jnp.zeros((10, 3)), jnp.tile(jnp.asarray([[0., 0., -1.]]), (10, 1)),
+        jnp.full((10, 1), 0.5), jnp.full((10, 1), 2.0)], -1)
+    key = jax.random.key(2)
+    o1 = r1.render_rays(params, vox, rays, key)
+    o2 = r2.render_rays(params, vox, rays, key)
+    np.testing.assert_allclose(np.asarray(o1["fine"].rgb),
+                               np.asarray(o2["fine"].rgb), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1["fine"].depth),
+                               np.asarray(o2["fine"].depth), rtol=1e-4,
+                               atol=1e-5)
