@@ -79,3 +79,37 @@ def test_synthetic_scene_and_demo():
     assert demo.num_keyframes == 5
     # grasp closes the gripper partway through
     assert demo.gripper_open[0] == 1 and demo.gripper_open[-1] == 0
+
+
+def test_calibration_chain_and_io(tmp_path):
+    from real_robot_nerf_actor_tpu.data.calibration import (
+        compose_cam2base, gl_to_cv, load_calibration, save_calibration)
+    rng = np.random.default_rng(0)
+    # a plausible desk2camera with orthonormal rotation
+    q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    d2c = np.eye(4)
+    d2c[:3, :3] = q
+    d2c[:3, 3] = [0.1, 0.2, 0.7]
+    adj_o = np.diag([1.0, -1, -1, 1])
+    adj_p = np.eye(4)
+    adj_p[:3, 3] = [-0.08, 0.16, 0.01]
+    c2b = compose_cam2base(d2c, adj_o, adj_p)
+    # inverse chain recovers identity (up to gl2cv)
+    recon = (d2c @ adj_o @ adj_p) @ c2b
+    np.testing.assert_allclose(recon, gl_to_cv(), atol=1e-9)
+    p = str(tmp_path / "calib.json")
+    save_calibration(p, c2b, note=[1, 2])
+    np.testing.assert_allclose(load_calibration(p), c2b)
+
+
+def test_heightmap():
+    from real_robot_nerf_actor_tpu.data.calibration import get_heightmap
+    pts = np.array([[0.05, 0.05, 0.1], [0.05, 0.05, 0.3],  # same cell, z-max
+                    [0.15, 0.05, 0.2], [0.9, 0.9, 0.5]], np.float32)  # last OOB
+    cols = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]], np.float32)
+    hm, cm = get_heightmap(pts, cols, np.array([[0, 0, 0], [0.2, 0.2, 1.0]]),
+                           pixel_size=0.1)
+    assert hm.shape == (2, 2)
+    assert abs(hm[0, 0] - 0.3) < 1e-6       # max height wins
+    np.testing.assert_allclose(cm[0, 0], [0, 1, 0])  # its color too
+    assert hm[1, 1] == 0.0                   # OOB point excluded
