@@ -239,3 +239,37 @@ class MultiLayer3DEncoderShallow(nn.Module):
         u = c2 + DeconvBn3D(ch[1], out_size=c2.shape[1])(u, train)   # 50^3
         u = c0 + DeconvBn3D(ch[0], out_size=c0.shape[1])(u, train)   # 100^3
         return nn.Conv(self.features, (1, 1, 1))(u)
+
+
+class ContractFirstConv3D(nn.Module):
+    """3-D conv computed channels-first: one matmul x @ W (Cin -> taps*Cout)
+    followed by 27 shifted scalar adds. Exact conv; wins when Cout is tiny
+    (the 64->1 Q-trans head: XLA's direct conv can't fill the MXU with one
+    output channel). Replicate ('edge') padding like Conv3DBlock."""
+
+    features: int
+    kernel_size: int = 3
+    activation: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, cin = x.shape
+        k = self.kernel_size
+        taps = k ** 3
+        kernel = self.param("kernel", init_for(self.activation),
+                            (k, k, k, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        w2 = kernel.transpose(3, 0, 1, 2, 4).reshape(cin, taps * self.features)
+        t = (x.astype(self.dtype) @ w2.astype(self.dtype))
+        t = t.reshape(b, d, h, w, taps, self.features)
+        pad = k // 2
+        t = jnp.pad(t, ((0, 0), (pad, pad), (pad, pad), (pad, pad),
+                        (0, 0), (0, 0)), mode="edge")
+        out = jnp.zeros((b, d, h, w, self.features), self.dtype)
+        for tap in range(taps):
+            dz, rem = divmod(tap, k * k)
+            dy, dx = divmod(rem, k)
+            out = out + t[:, dz:dz + d, dy:dy + h, dx:dx + w, tap]
+        out = out + bias.astype(self.dtype)
+        return act_fn(self.activation)(out)

@@ -34,8 +34,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from real_robot_nerf_actor_tpu.models.blocks import (
-    Conv3DBlock, Conv3DUpsampleBlock, DenseBlock, MultiLayer3DEncoderShallow,
-    PatchifyConv3D)
+    ContractFirstConv3D, Conv3DBlock, Conv3DUpsampleBlock, DenseBlock,
+    MultiLayer3DEncoderShallow, PatchifyConv3D)
 from real_robot_nerf_actor_tpu.ops.spatial_softmax import spatial_softmax_3d
 
 
@@ -242,7 +242,10 @@ class PerceiverIO(nn.Module):
                                  name="up0")(dec)           # (B, V,V,V, 64)
         u = Conv3DBlock(c.im_channels, 3, 1, c.activation, dtype=dt,
                         name="final")(jnp.concatenate([d0, u0], axis=-1))
-        q_trans = Conv3DBlock(1, 3, 1, None, name="trans_decoder")(
+        # 1-output-channel conv can't fill the MXU; contract-first form
+        # (exact conv) is ~10x faster at 100^3
+        q_trans = ContractFirstConv3D(1, 3, None, dtype=dt,
+                                      name="trans_decoder")(
             u)[..., 0].astype(jnp.float32)
 
         feats.extend([spatial_softmax_3d(u), jnp.max(u, axis=(1, 2, 3))])

@@ -32,8 +32,10 @@ def spatial_softmax_3d(feature: jnp.ndarray, temperature: float = 0.01) -> jnp.n
     (B, C, D, H, W): each channel's volume is softmaxed independently.
     """
     b, d, h, w, c = feature.shape
-    px, py, pz = _pos_grids(d, h, w, feature.dtype)
-    flat = feature.transpose(0, 4, 1, 2, 3).reshape(b * c, d * h * w)
+    px, py, pz = _pos_grids(d, h, w, jnp.float32)
+    # fp32: at temperature 0.01 over 1e6 elements bf16 softmax loses the mode
+    flat = feature.transpose(0, 4, 1, 2, 3).reshape(
+        b * c, d * h * w).astype(jnp.float32)
     att = jax.nn.softmax(flat / temperature, axis=-1)
     ex = att @ px
     ey = att @ py
