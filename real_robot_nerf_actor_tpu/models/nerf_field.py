@@ -116,8 +116,10 @@ class VoxelNerfField(nn.Module):
         out = out.reshape(sb, b, c.d_out)
 
         res = {
-            "rgb": jax.nn.sigmoid(out[..., :3]),
-            "sigma": jax.nn.relu(out[..., 3]),
+            # rgb/sigma in fp32 (compositing statistics); the wide embed
+            # channel stays in the MLP compute dtype to halve HBM traffic
+            "rgb": jax.nn.sigmoid(out[..., :3].astype(jnp.float32)),
+            "sigma": jax.nn.relu(out[..., 3].astype(jnp.float32)),
         }
         rest = out[..., 4:]
         if c.regress_coord and c.regress_attention:

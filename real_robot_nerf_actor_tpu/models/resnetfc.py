@@ -77,7 +77,6 @@ class ResnetFC(nn.Module):
 
         out = nn.Dense(self.d_out, kernel_init=_kaiming,
                        dtype=self.dtype)(nn.relu(x))
-        out = out.astype(jnp.float32)
         if ret_last_feat:
-            return jnp.concatenate([out, x.astype(jnp.float32)], axis=-1), x
+            return jnp.concatenate([out, x], axis=-1), x
         return out, x

@@ -140,16 +140,34 @@ class NeuralRenderer:
             if c.reuse_coarse and self.field.share_mlp:
                 # evaluate ONLY the new samples; merge with the coarse
                 # pass's values and composite order-independently (exact —
-                # the reference re-evaluates all Kc+Kf points)
+                # the reference re-evaluates all Kc+Kf points). Only the
+                # SCALAR z/sigma arrays are concatenated/sorted; the wide
+                # rgb/embed arrays are summed segment-wise (weighted sums
+                # are order-invariant), avoiding multi-GB materializations.
                 vals_n = self._eval_points(params, voxel_feat, rays, z_new,
                                            False, k_n2, pre_expanded)
+                from real_robot_nerf_actor_tpu.ops.compositing import (
+                    CompositeOut, compute_weights)
                 z_all = jnp.concatenate([z_coarse, z_new], axis=-1)
-                rgbs = jnp.concatenate([vals_c[0], vals_n[0]], axis=-2)
-                sigmas = jnp.concatenate([vals_c[1], vals_n[1]], axis=-1)
-                embeds = jnp.concatenate([vals_c[2], vals_n[2]], axis=-2)
-                out["fine"] = composite_unsorted(
-                    z_all, rays, rgbs, sigmas, embeds,
-                    white_bkgd=c.white_bkgd)
+                sig_all = jnp.concatenate([vals_c[1], vals_n[1]], axis=-1)
+                order = jnp.argsort(z_all, axis=-1)
+                z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
+                sig_sorted = jnp.take_along_axis(sig_all, order, axis=-1)
+                w_sorted = compute_weights(z_sorted, sig_sorted, rays)
+                inv = jnp.argsort(order, axis=-1)
+                w_all = jnp.take_along_axis(w_sorted, inv, axis=-1)
+                kc = z_coarse.shape[-1]
+                w_c, w_n = w_all[:, :kc], w_all[:, kc:]
+                rgb = (jnp.sum(w_c[..., None] * vals_c[0], -2)
+                       + jnp.sum(w_n[..., None] * vals_n[0], -2))
+                embed = (jnp.sum(w_c[..., None] * vals_c[2], -2)
+                         + jnp.sum(w_n[..., None] * vals_n[2], -2))
+                depth = (jnp.sum(w_c * z_coarse, -1)
+                         + jnp.sum(w_n * z_new, -1))
+                if c.white_bkgd:
+                    rgb = rgb + (1.0 - jnp.sum(w_all, 1)[..., None])
+                out["fine"] = CompositeOut(weights=w_all, rgb=rgb,
+                                           embed=embed, depth=depth)
             else:
                 z_all = jnp.sort(
                     jnp.concatenate([z_coarse, z_new], axis=-1), axis=-1)
