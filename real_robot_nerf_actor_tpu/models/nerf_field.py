@@ -44,6 +44,12 @@ class NerfFieldConfig:
     regress_attention: bool = False
     coord_bounds: Tuple[float, ...] = (-0.1, -0.3, -0.2, 0.8, 0.7, 0.7)
     compute_dtype: str = "float32"   # "float32" | "bfloat16" MLP compute
+    # proposal sampler (opt-in perf mode): a small rgb+sigma MLP replaces
+    # the full field for the coarse pass (mip-NeRF-360-style); the fine
+    # pass then composites only its well-placed samples
+    use_proposal: bool = False
+    proposal_hidden: int = 128
+    proposal_blocks: int = 2
 
     @property
     def d_in(self) -> int:
@@ -78,6 +84,10 @@ class VoxelNerfField(nn.Module):
             self.mlp_fine = ResnetFC(
                 d_out=c.d_out, n_blocks=c.n_blocks, d_latent=c.d_latent,
                 d_hidden=c.d_hidden, combine_layer=c.combine_layer, dtype=dt)
+        if c.use_proposal:
+            self.mlp_proposal = ResnetFC(
+                d_out=4, n_blocks=c.proposal_blocks, d_latent=c.d_latent,
+                d_hidden=c.proposal_hidden, combine_layer=1000, dtype=dt)
 
     def world_to_canonical(self, xyz: jnp.ndarray) -> jnp.ndarray:
         bounds = jnp.asarray(self.cfg.coord_bounds, dtype=xyz.dtype)
@@ -111,6 +121,14 @@ class VoxelNerfField(nn.Module):
             feat = jnp.concatenate([feat, viewdirs], axis=-1)
 
         mlp_in = jnp.concatenate([latent, feat], axis=-1).reshape(sb * b, -1)
+        if coarse and c.use_proposal:
+            out, _ = self.mlp_proposal(mlp_in, ret_last_feat=False)
+            out = out.reshape(sb, b, 4)
+            return {
+                "rgb": jax.nn.sigmoid(out[..., :3].astype(jnp.float32)),
+                "sigma": jax.nn.relu(out[..., 3].astype(jnp.float32)),
+                "embed": jnp.zeros((sb, b, c.d_embed), out.dtype),
+            }
         mlp = self.mlp_coarse if (coarse or self.share_mlp) else self.mlp_fine
         out, last = mlp(mlp_in, ret_last_feat=False)
         out = out.reshape(sb, b, c.d_out)

@@ -34,10 +34,12 @@ class Embedding:
     def init(self, key, obs_example):
         if self.module is None:
             return {}
-        return self.module.init(key, jnp.asarray(obs_example))
+        obs = jax.tree_util.tree_map(jnp.asarray, obs_example)
+        return self.module.init(key, obs)
 
     def __call__(self, variables, obs):
-        return self.apply_fn(variables, jnp.asarray(obs))
+        return self.apply_fn(variables,
+                             jax.tree_util.tree_map(jnp.asarray, obs))
 
 
 class SimpleCNN(nn.Module):

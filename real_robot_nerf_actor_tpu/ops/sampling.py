@@ -37,8 +37,9 @@ def sample_fine(key: jax.Array, rays: jnp.ndarray, weights: jnp.ndarray,
 
     k_u, k_jitter = jax.random.split(key)
     u = jax.random.uniform(k_u, (b, n_fine), dtype=rays.dtype)
-    # searchsorted right per row
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(right) as a compare+reduce (the vmapped binary search
+    # lowers to a serial while loop on TPU; this is one vectorized pass)
+    inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1)
     inds = jnp.maximum(inds.astype(rays.dtype) - 1.0, 0.0)
     z_steps = (inds + jax.random.uniform(k_jitter, (b, n_fine), dtype=rays.dtype)) / n_coarse
 

@@ -137,7 +137,15 @@ class NeuralRenderer:
                     k_fdepth, rays, jax.lax.stop_gradient(coarse.depth),
                     c.n_fine_depth, c.depth_std))
             z_new = jnp.concatenate(new, axis=-1)
-            if c.reuse_coarse and self.field.share_mlp:
+            if self.cfg.field.use_proposal:
+                # proposal mode: the coarse pass was a cheap sampler; the
+                # fine output composites ONLY the well-placed new samples
+                # through the full field (mip-NeRF-360-style two-level)
+                z_sorted = jnp.sort(z_new, axis=-1)
+                out["fine"] = self._eval_pass(params, voxel_feat, rays,
+                                              z_sorted, False, k_n2,
+                                              pre_expanded)
+            elif c.reuse_coarse and self.field.share_mlp:
                 # evaluate ONLY the new samples; merge with the coarse
                 # pass's values and composite order-independently (exact —
                 # the reference re-evaluates all Kc+Kf points). Only the
@@ -242,11 +250,14 @@ class NeuralRenderer:
         }
         if gt_embed is not None:
             gt_e = gt_embed.reshape(-1, gt_embed.shape[-1])[ray_idx]
-            loss_e_c = cfg.lambda_embed * jnp.mean((coarse.embed - gt_e) ** 2)
             loss_e_f = cfg.lambda_embed * jnp.mean((fine.embed - gt_e) ** 2)
-            loss = loss + loss_e_c + loss_e_f
-            metrics["loss_embed_coarse"] = loss_e_c
+            loss = loss + loss_e_f
             metrics["loss_embed_fine"] = loss_e_f
+            if not cfg.field.use_proposal:  # proposal emits no coarse embed
+                loss_e_c = cfg.lambda_embed * jnp.mean(
+                    (coarse.embed - gt_e) ** 2)
+                loss = loss + loss_e_c
+                metrics["loss_embed_coarse"] = loss_e_c
         if gt_depth is not None and cfg.lambda_depth > 0:
             gt_d = gt_depth.reshape(-1)[ray_idx]
             mask = (gt_d < cfg.z_far).astype(gt_d.dtype)

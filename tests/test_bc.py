@@ -116,3 +116,61 @@ def test_bc_diffusion_head():
     assert losses[-1] < losses[0]
     a = bc.sample_action(obs[0])
     assert a.shape == (3,) and (np.abs(a) <= 1).all()
+
+
+def test_bc_pointcloud_mode():
+    """bc_depth equivalent: pointnet embedding over point-cloud obs."""
+    rng = np.random.default_rng(0)
+    obs0 = {"points": rng.standard_normal((200, 3)).astype(np.float32),
+            "colors": rng.uniform(0, 1, (200, 3)).astype(np.float32)}
+
+    import jax.numpy as jnp
+    from real_robot_nerf_actor_tpu.models.representations import Embedding
+    from real_robot_nerf_actor_tpu.models.representations import PointNet
+    m = PointNet(32)
+    emb = Embedding("pointnet_pc", m, 32,
+                    apply_fn=lambda v, o: m.apply(
+                        v, jnp.concatenate([o["points"], o["colors"]], -1)))
+    cfg = BCConfig(embedding="pointnet", obs_mode="pointcloud", hidden_dim=32,
+                   batch_size=8)
+    tr = BCTrainer.__new__(BCTrainer)
+    tr.cfg = cfg
+    tr.embedding = emb
+    import jax
+    import optax
+    from real_robot_nerf_actor_tpu.train.bc import ContinuousPolicy, _batch_one
+    ob1 = _batch_one(obs0)
+    tr.enc_vars = m.init(jax.random.key(0), jnp.concatenate(
+        [jnp.asarray(ob1["points"]), jnp.asarray(ob1["colors"])], -1))
+    feat = emb(tr.enc_vars, ob1)
+    tr.policy = ContinuousPolicy(4, 32)
+    tr.pol_params = tr.policy.init(jax.random.key(1), feat)["params"]
+    tr.tx = optax.adam(1e-3)
+    tr.opt_state = tr.tx.init((tr.pol_params, tr.enc_vars))
+    tr._jit_update = jax.jit(tr._mlp_update)
+    tr._jit_act = jax.jit(tr._mlp_act)
+    tr._rng = np.random.default_rng(0)
+
+    obs_b = {k: np.stack([obs0[k]] * 8) for k in obs0}
+    act_b = np.tanh(rng.standard_normal((8, 4))).astype(np.float32)
+    losses = [tr.update(obs_b, act_b) for _ in range(15)]
+    assert losses[-1] < losses[0]
+    a = tr.act(obs0)
+    assert a.shape == (4,)
+
+
+def test_sac_pixel_update():
+    from real_robot_nerf_actor_tpu.rl import SACAgent, SACConfig, ReplayBuffer
+    rng = np.random.default_rng(0)
+    obs = rng.uniform(0, 1, (10, 10, 3)).astype(np.float32)
+    cfg = SACConfig(action_dim=2, obs_type="image", hidden_dim=32,
+                    encoder_feature_dim=8)
+    agent = SACAgent(cfg, obs)
+    rb = ReplayBuffer(100, obs.shape, 2)
+    for _ in range(40):
+        rb.add(rng.uniform(0, 1, obs.shape).astype(np.float32),
+               rng.uniform(-1, 1, 2).astype(np.float32), 0.5,
+               rng.uniform(0, 1, obs.shape).astype(np.float32), False)
+    m1 = agent.update(rb.sample(16))
+    m2 = agent.update(rb.sample(16))
+    assert np.isfinite(m1["critic_loss"]) and np.isfinite(m2["critic_loss"])

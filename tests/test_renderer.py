@@ -78,3 +78,35 @@ def test_rendering_loss_and_grads(renderer):
 def test_psnr():
     assert float(psnr(jnp.ones((4, 3)) * 0.5, jnp.ones((4, 3)) * 0.5)) > 90
     assert abs(float(psnr(jnp.zeros((4, 3)), jnp.ones((4, 3))))) < 1e-4
+
+
+def test_proposal_mode_renders_and_trains():
+    import dataclasses
+    cfg = RendererConfig(
+        image_width=8, image_height=6, n_coarse=8, n_fine=4, n_fine_depth=2,
+        ray_chunk_size=16, render_tile=16,
+        field=NerfFieldConfig(d_latent=4, d_embed=8, d_hidden=16, n_blocks=2,
+                              combine_layer=1, use_proposal=True,
+                              proposal_hidden=8, proposal_blocks=1,
+                              coord_bounds=(-1., -1., -1., 1., 1., 1.)))
+    r = NeuralRenderer(cfg)
+    params = r.init_params(jax.random.key(0))
+    vox = jax.random.normal(jax.random.key(1), (1, 5, 5, 5, 4))
+    from real_robot_nerf_actor_tpu.ops import gen_rays
+    rays = gen_rays(_pose(), 8, 6, jnp.asarray(7.0), 1.2, 4.0).reshape(-1, 8)[:16]
+    out = r.render_rays(params, vox, rays, jax.random.key(2))
+    # fine pass composites only the n_fine new samples
+    assert out["fine"].weights.shape == (16, 4)
+    assert np.isfinite(np.asarray(out["fine"].rgb)).all()
+
+    gt_rgb = jnp.ones((1, 6, 8, 3)) * 0.4
+    gt_embed = jnp.zeros((1, 6, 8, 8))
+    loss, m = r.rendering_loss(params, vox, gt_rgb, _pose(), jnp.asarray(7.0),
+                               jax.random.key(3), gt_embed=gt_embed)
+    assert np.isfinite(float(loss))
+    assert "loss_embed_coarse" not in m  # proposal emits no coarse embed
+    g = jax.grad(lambda p: r.rendering_loss(
+        p, vox, gt_rgb, _pose(), jnp.asarray(7.0), jax.random.key(3),
+        gt_embed=gt_embed)[0])(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
