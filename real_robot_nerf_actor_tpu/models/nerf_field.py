@@ -89,6 +89,12 @@ class VoxelNerfField(nn.Module):
                 d_out=4, n_blocks=c.proposal_blocks, d_latent=c.d_latent,
                 d_hidden=c.proposal_hidden, combine_layer=1000, dtype=dt)
 
+    def init_all(self, voxel_feat, xyz, viewdirs=None):
+        """Init helper touching every submodule (coarse/proposal + fine)."""
+        out_c = self(voxel_feat, xyz, viewdirs, coarse=True)
+        out_f = self(voxel_feat, xyz, viewdirs, coarse=False)
+        return out_c, out_f
+
     def world_to_canonical(self, xyz: jnp.ndarray) -> jnp.ndarray:
         bounds = jnp.asarray(self.cfg.coord_bounds, dtype=xyz.dtype)
         bb_min, bb_max = bounds[:3], bounds[3:]

@@ -78,7 +78,8 @@ class NeuralRenderer:
         vox = jnp.zeros((1, 2, 2, 2, self.cfg.field.d_latent))
         xyz = jnp.zeros((1, 4, 3))
         dirs = jnp.zeros((1, 4, 3))
-        return self.field.init(key, vox, xyz, dirs)
+        return self.field.init(key, vox, xyz, dirs,
+                               method=self.field.init_all)
 
     # ------------------------------------------------------------------ core
     def _eval_points(self, params, voxel_feat, rays, z_samp, coarse, key,
