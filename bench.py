@@ -48,7 +48,7 @@ def measure_rt_overhead(jax, n: int = 5) -> float:
 
 
 def bench_nerf_render(jax, rt: float, n_inner: int = 8,
-                      dtype: str = "bfloat16"):
+                      dtype: str = "bfloat16", proposal: bool = False):
     import jax.numpy as jnp
     import numpy as np
     from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
@@ -60,7 +60,8 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
         n_fine_depth=16,
         field=NerfFieldConfig(d_latent=64, d_embed=512, d_hidden=512,
                               n_blocks=5, combine_layer=3,
-                              compute_dtype=dtype))
+                              compute_dtype=dtype,
+                              use_proposal=proposal))
     r = NeuralRenderer(cfg)
     params = r.init_params(jax.random.key(0))
     vox = jax.random.normal(jax.random.key(1), (1, 100, 100, 100, 64))
@@ -148,13 +149,20 @@ def bench_policy(jax, rt: float, n_inner: int = 10,
 def main():
     jax = _setup()
     rt = measure_rt_overhead(jax)
+    # headline: the reference's exact sampling/arch config
     rays_per_sec = bench_nerf_render(jax, rt)
+    # perf mode: proposal sampler (opt-in feature, NOT the parity config)
+    try:
+        proposal_rays = bench_nerf_render(jax, rt, proposal=True)
+    except Exception:
+        proposal_rays = 0.0
     actions_per_sec, device_ms, e2e_p50_ms = bench_policy(jax, rt)
     print(json.dumps({
         "metric": "nerf_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+        "proposal_mode_rays_per_sec": round(proposal_rays, 1),
         "policy_actions_per_sec": round(actions_per_sec, 2),
         "policy_device_ms": round(device_ms, 2),
         "policy_p50_latency_ms": round(e2e_p50_ms, 2),
