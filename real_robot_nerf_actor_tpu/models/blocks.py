@@ -65,22 +65,29 @@ class DenseBlock(nn.Module):
 
 
 class Conv3DBlock(nn.Module):
-    """3-D conv + activation, replicate ('edge') padding like the reference."""
+    """3-D conv + activation. padding='replicate' matches the reference's
+    edge padding exactly but materializes a padded copy (a 0.5 GB HBM pass
+    at 100^3 x 128ch); 'zeros' folds padding into the conv (XLA-native, no
+    copy) and differs only in the 1-voxel border halo."""
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     activation: Optional[str] = None
     dtype: Any = jnp.float32
+    padding: str = "replicate"
 
     @nn.compact
     def __call__(self, x):
         pad = self.kernel_size // 2
-        if pad > 0:
+        if pad > 0 and self.padding == "replicate":
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)),
                         mode="edge")
+            conv_pad = "VALID"
+        else:
+            conv_pad = pad
         x = nn.Conv(self.features, (self.kernel_size,) * 3,
-                    strides=(self.stride,) * 3, padding="VALID",
+                    strides=(self.stride,) * 3, padding=conv_pad,
                     kernel_init=init_for(self.activation),
                     dtype=self.dtype)(x)
         return act_fn(self.activation)(x)

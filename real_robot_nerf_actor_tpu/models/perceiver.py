@@ -66,6 +66,7 @@ class PerceiverConfig:
     compute_dtype: str = "float32"   # "float32" | "bfloat16"
     use_flash_attention: bool = False  # Pallas flash kernel (TPU)
     upsample_mode: str = "subpixel"  # "subpixel" (TPU) | "trilinear" (ref)
+    conv_padding: str = "zeros"      # "zeros" (TPU) | "replicate" (ref)
 
     @property
     def spatial_size(self) -> int:
@@ -186,6 +187,7 @@ class PerceiverIO(nn.Module):
                 voxel_grid, train=train)
         else:
             d0 = Conv3DBlock(c.im_channels, 1, 1, c.activation, dtype=dt,
+                             padding=c.conv_padding,
                              name="input_preprocess")(voxel_grid)
 
         feats = [spatial_softmax_3d(d0), jnp.max(d0, axis=(1, 2, 3))]
@@ -241,6 +243,7 @@ class PerceiverIO(nn.Module):
                                  mode=c.upsample_mode,
                                  name="up0")(dec)           # (B, V,V,V, 64)
         u = Conv3DBlock(c.im_channels, 3, 1, c.activation, dtype=dt,
+                        padding=c.conv_padding,
                         name="final")(jnp.concatenate([d0, u0], axis=-1))
         # 1-output-channel conv can't fill the MXU; contract-first form
         # (exact conv) is ~10x faster at 100^3
