@@ -1,0 +1,105 @@
+"""TRUE golden parity: run the actual reference implementation (read-only,
+imported from /root/reference — pure torch+numpy modules only) against this
+framework on identical inputs."""
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _ref_voxel_grid():
+    try:
+        return _load("ref_voxel", os.path.join(REF, "voxel_grid_real.py"))
+    except Exception:
+        return None
+
+
+@pytest.mark.skipif(_ref_voxel_grid() is None,
+                    reason="reference voxelizer not importable")
+def test_voxelizer_matches_reference_exactly():
+    import torch
+    import jax.numpy as jnp
+    from real_robot_nerf_actor_tpu.ops import VoxelizerSpec, voxelize
+
+    m = _ref_voxel_grid()
+    bounds = [-0.1, -0.3, -0.2, 0.8, 0.7, 0.7]
+    v, n = 14, 3000
+    rng = np.random.default_rng(42)
+    coords = rng.uniform(-0.3, 0.9, (1, n, 3)).astype(np.float32)
+    rgb = rng.uniform(-1, 1, (1, n, 3)).astype(np.float32)
+
+    ref_vg = m.VoxelGrid(coord_bounds=bounds, voxel_size=v, device="cpu",
+                         batch_size=1, feature_size=3, max_num_coords=n)
+    want = ref_vg.coords_to_bounding_voxel_grid(
+        torch.tensor(coords), coord_features=torch.tensor(rgb),
+        coord_bounds=torch.tensor([bounds])).numpy()
+
+    got = np.asarray(voxelize(
+        jnp.asarray(coords), jnp.asarray(rgb), jnp.asarray(bounds),
+        VoxelizerSpec(voxel_size=v, feature_size=3, max_num_coords=n)))
+
+    assert got.shape == want.shape == (1, v, v, v, 10)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.skipif(_ref_voxel_grid() is None,
+                    reason="reference voxelizer not importable")
+def test_compat_voxelgrid_matches_reference():
+    """The compat shim's signature AND output match the reference class."""
+    import torch
+    from real_robot_nerf_actor_tpu.compat import VoxelGrid
+
+    m = _ref_voxel_grid()
+    bounds = [0.0, 0.0, 0.0, 1.0, 1.0, 1.0]
+    v, n = 8, 800
+    rng = np.random.default_rng(7)
+    coords = rng.uniform(0, 1, (1, n, 3)).astype(np.float32)
+    rgb = rng.uniform(-1, 1, (1, n, 3)).astype(np.float32)
+
+    ref = m.VoxelGrid(coord_bounds=bounds, voxel_size=v, device="cpu",
+                      batch_size=1, feature_size=3, max_num_coords=n)
+    want = ref.coords_to_bounding_voxel_grid(
+        torch.tensor(coords), coord_features=torch.tensor(rgb)).numpy()
+
+    ours = VoxelGrid(coord_bounds=bounds, voxel_size=v, device="cpu",
+                     batch_size=1, feature_size=3, max_num_coords=n)
+    got = np.asarray(ours.coords_to_bounding_voxel_grid(
+        coords, coord_features=rgb))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_positional_encoding_matches_reference_math():
+    """Reference PositionalEncoding uses addcmul(sin(phase + x*freq));
+    reproduce its exact layout with torch here and compare."""
+    import torch
+    from real_robot_nerf_actor_tpu.ops import (
+        PositionalEncodingSpec, positional_encoding)
+    import jax.numpy as jnp
+
+    num_freqs, factor = 6, 1.5
+    freqs = factor * 2.0 ** torch.arange(0, num_freqs)
+    _freqs = torch.repeat_interleave(freqs, 2).view(1, -1, 1)
+    _phases = torch.zeros(2 * num_freqs)
+    _phases[1::2] = np.pi * 0.5
+    _phases = _phases.view(1, -1, 1)
+
+    x = torch.tensor(np.random.default_rng(0).standard_normal((50, 3)),
+                     dtype=torch.float)
+    embed = x.unsqueeze(1).repeat(1, num_freqs * 2, 1)
+    embed = torch.sin(torch.addcmul(_phases, embed, _freqs))
+    want = torch.cat((x, embed.view(x.shape[0], -1)), dim=-1).numpy()
+
+    got = np.asarray(positional_encoding(
+        jnp.asarray(x.numpy()), PositionalEncodingSpec(num_freqs, 3, factor,
+                                                       True)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
