@@ -1,0 +1,97 @@
+"""Pallas TPU 3-D convolution (k3, stride 1, NDHWC, zero padding).
+
+XLA's general 3-D conv at 100^3 runs at ~25-40% MXU and surrounds itself
+with layout copies (see BENCH_NOTES.md). This kernel tiles the volume into
+(tz, ty, W) slabs, DMAs each slab + 1-voxel halo from HBM into VMEM
+(manual async copy — halos overlap, which BlockSpec partitions can't
+express), and computes the conv as 9 matmuls with the W-axis taps packed
+into the contraction dim (K = 3*Cin), accumulating in fp32.
+
+Scope: kernel_size 3, stride 1, zero padding; used for the PerceiverIO
+`final` conv (128->64 @ 100^3). General shapes fall back to XLA.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_hbm, w_ref, o_ref, scratch, sem, *, tz: int, ty: int,
+            w_out: int, cin: int, cout: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * tz, tz + 2), pl.ds(j * ty, ty + 2), :, :],
+        scratch, sem)
+    copy.start()
+    copy.wait()
+
+    acc = jnp.zeros((tz * ty * w_out, cout), jnp.float32)
+    for dz in range(3):
+        for dy in range(3):
+            rows = scratch[dz:dz + tz, dy:dy + ty, :, :]
+            x0 = rows[:, :, 0:w_out, :]
+            x1 = rows[:, :, 1:w_out + 1, :]
+            x2 = rows[:, :, 2:w_out + 2, :]
+            packed = jnp.concatenate([x0, x1, x2], axis=-1).reshape(
+                tz * ty * w_out, 3 * cin)
+            acc = acc + jax.lax.dot(
+                packed, w_ref[dz, dy], preferred_element_type=jnp.float32)
+    o_ref[...] = acc.reshape(tz, ty, w_out, cout).astype(o_ref.dtype)
+
+
+def conv3d_k3_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
+                     bias: Optional[jnp.ndarray] = None,
+                     tz: int = 4, ty: int = 10,
+                     out_dtype=None,
+                     interpret: Optional[bool] = None) -> jnp.ndarray:
+    """x: (B, D, H, W, Cin); kernel: (3, 3, 3, Cin, Cout) (flax nn.Conv
+    layout). Returns (B, D, H, W, Cout). Zero padding, stride 1."""
+    b, d, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dz_pad = (-d) % tz
+    dy_pad = (-h) % ty
+    xp = jnp.pad(x, ((0, 0), (1, 1 + dz_pad), (1, 1 + dy_pad), (1, 1),
+                     (0, 0)))
+    dp = d + dz_pad
+    hp = h + dy_pad
+    # (3, 3, 3*Cin, Cout): W taps packed into K in (x0|x1|x2) order —
+    # tap dx varies over kernel axis 2, so the K layout is [dx0·Cin,
+    # dx1·Cin, dx2·Cin], matching kernel[dz, dy, dx, cin, cout]
+    wk = kernel.reshape(3, 3, 3 * cin, cout).astype(x.dtype)
+
+    grid = (dp // tz, hp // ty)
+
+    def one_batch(xb):
+        return pl.pallas_call(
+            functools.partial(_kernel, tz=tz, ty=ty, w_out=w, cin=cin,
+                              cout=cout),
+            out_shape=jax.ShapeDtypeStruct((dp, hp, w, cout),
+                                           out_dtype or x.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),      # full padded volume
+                pl.BlockSpec((3, 3, 3 * cin, cout),
+                             lambda i, j: (0, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tz, ty, w, cout),
+                                   lambda i, j: (i, j, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((tz + 2, ty + 2, w + 2, cin), x.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(xb, wk)
+
+    out = jax.vmap(one_batch)(xp)
+    out = out[:, :d, :h]
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

@@ -1,0 +1,47 @@
+"""Pallas 3-D conv vs flax nn.Conv (zero padding), interpret mode on CPU."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from real_robot_nerf_actor_tpu.ops.conv3d_pallas import conv3d_k3_pallas
+
+
+def _ref_conv(x, kernel, bias):
+    conv = nn.Conv(kernel.shape[-1], (3, 3, 3), padding=1)
+    return conv.apply({"params": {"kernel": jnp.asarray(kernel),
+                                  "bias": jnp.asarray(bias)}}, jnp.asarray(x))
+
+
+def test_conv3d_pallas_matches_xla():
+    rng = np.random.default_rng(0)
+    b, d, h, w, cin, cout = 2, 8, 10, 12, 16, 8
+    x = rng.standard_normal((b, d, h, w, cin)).astype(np.float32)
+    k = (rng.standard_normal((3, 3, 3, cin, cout)) * 0.1).astype(np.float32)
+    bias = rng.standard_normal(cout).astype(np.float32)
+    want = np.asarray(_ref_conv(x, k, bias))
+    got = np.asarray(conv3d_k3_pallas(jnp.asarray(x), jnp.asarray(k),
+                                      jnp.asarray(bias), tz=4, ty=5))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_conv3d_pallas_non_divisible_tiles():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 7, 9, 11, 8)).astype(np.float32)
+    k = (rng.standard_normal((3, 3, 3, 8, 4)) * 0.1).astype(np.float32)
+    bias = np.zeros(4, np.float32)
+    want = np.asarray(_ref_conv(x, k, bias))
+    got = np.asarray(conv3d_k3_pallas(jnp.asarray(x), jnp.asarray(k),
+                                      jnp.asarray(bias), tz=4, ty=4))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_conv3d_pallas_bf16():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 16)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 8)) * 0.1, jnp.float32)
+    got = conv3d_k3_pallas(x, k, None, tz=4, ty=4)
+    want = _ref_conv(np.asarray(x, np.float32), np.asarray(k),
+                     np.zeros(8, np.float32))
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=5e-2, atol=5e-2)
