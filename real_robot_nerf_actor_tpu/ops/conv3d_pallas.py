@@ -4,8 +4,8 @@ XLA's general 3-D conv at 100^3 runs at ~25-40% MXU and surrounds itself
 with layout copies (see BENCH_NOTES.md). This kernel tiles the volume into
 (tz, ty, W) slabs, DMAs each slab + 1-voxel halo from HBM into VMEM
 (manual async copy — halos overlap, which BlockSpec partitions can't
-express), and computes the conv as 9 matmuls with the W-axis taps packed
-into the contraction dim (K = 3*Cin), accumulating in fp32.
+express), and computes the conv as 27 tap matmuls accumulating in fp32 (Mosaic
+cannot concatenate offset slices, so taps are not packed into K).
 
 Scope: kernel_size 3, stride 1, zero padding; used for the PerceiverIO
 `final` conv (128->64 @ 100^3). General shapes fall back to XLA.
@@ -27,21 +27,19 @@ def _kernel(x_hbm, w_ref, o_ref, scratch, sem, *, tz: int, ty: int,
     j = pl.program_id(1)
     copy = pltpu.make_async_copy(
         x_hbm.at[pl.ds(i * tz, tz + 2), pl.ds(j * ty, ty + 2), :, :],
-        scratch, sem)
+        scratch, sem)  # full (tile-aligned) W and C dims
     copy.start()
     copy.wait()
 
     acc = jnp.zeros((tz * ty * w_out, cout), jnp.float32)
     for dz in range(3):
         for dy in range(3):
-            rows = scratch[dz:dz + tz, dy:dy + ty, :, :]
-            x0 = rows[:, :, 0:w_out, :]
-            x1 = rows[:, :, 1:w_out + 1, :]
-            x2 = rows[:, :, 2:w_out + 2, :]
-            packed = jnp.concatenate([x0, x1, x2], axis=-1).reshape(
-                tz * ty * w_out, 3 * cin)
-            acc = acc + jax.lax.dot(
-                packed, w_ref[dz, dy], preferred_element_type=jnp.float32)
+            for dx in range(3):
+                xin = scratch[dz:dz + tz, dy:dy + ty, dx:dx + w_out, :]
+                xin = xin.reshape(tz * ty * w_out, cin)
+                acc = acc + jax.lax.dot(
+                    xin, w_ref[dz, dy, dx],
+                    preferred_element_type=jnp.float32)
     o_ref[...] = acc.reshape(tz, ty, w_out, cout).astype(o_ref.dtype)
 
 
@@ -58,14 +56,15 @@ def conv3d_k3_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     dz_pad = (-d) % tz
     dy_pad = (-h) % ty
-    xp = jnp.pad(x, ((0, 0), (1, 1 + dz_pad), (1, 1 + dy_pad), (1, 1),
-                     (0, 0)))
+    # the W axis is the sublane-tiled dim of the HBM layout: DMA slices
+    # must be tile-aligned there, so pad W+2 up to the dtype's tile
+    sublane = {2: 16, 4: 8}.get(jnp.dtype(x.dtype).itemsize, 8)
+    wp = -(-(w + 2) // sublane) * sublane
+    xp = jnp.pad(x, ((0, 0), (1, 1 + dz_pad), (1, 1 + dy_pad),
+                     (1, wp - w - 1), (0, 0)))
     dp = d + dz_pad
     hp = h + dy_pad
-    # (3, 3, 3*Cin, Cout): W taps packed into K in (x0|x1|x2) order —
-    # tap dx varies over kernel axis 2, so the K layout is [dx0·Cin,
-    # dx1·Cin, dx2·Cin], matching kernel[dz, dy, dx, cin, cout]
-    wk = kernel.reshape(3, 3, 3 * cin, cout).astype(x.dtype)
+    wk = kernel.astype(x.dtype)
 
     grid = (dp // tz, hp // ty)
 
@@ -78,13 +77,13 @@ def conv3d_k3_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),      # full padded volume
-                pl.BlockSpec((3, 3, 3 * cin, cout),
-                             lambda i, j: (0, 0, 0, 0)),
+                pl.BlockSpec((3, 3, 3, cin, cout),
+                             lambda i, j: (0, 0, 0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((tz, ty, w, cout),
                                    lambda i, j: (i, j, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((tz + 2, ty + 2, w + 2, cin), x.dtype),
+                pltpu.VMEM((tz + 2, ty + 2, wp, cin), x.dtype),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
