@@ -76,9 +76,20 @@ class Conv3DBlock(nn.Module):
     activation: Optional[str] = None
     dtype: Any = jnp.float32
     padding: str = "replicate"
+    backend: str = "xla"        # "xla" | "pallas" (k3/s1/zeros only)
 
     @nn.compact
     def __call__(self, x):
+        if (self.backend == "pallas" and self.kernel_size == 3
+                and self.stride == 1 and self.padding == "zeros"):
+            from real_robot_nerf_actor_tpu.ops.conv3d_pallas import conv3d_k3
+            kernel = self.param(
+                "pallas_kernel", init_for(self.activation),
+                (3, 3, 3, x.shape[-1], self.features))
+            bias = self.param("pallas_bias", nn.initializers.zeros,
+                              (self.features,))
+            y = conv3d_k3(x.astype(self.dtype), kernel, bias)
+            return act_fn(self.activation)(y)
         pad = self.kernel_size // 2
         if pad > 0 and self.padding == "replicate":
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)),

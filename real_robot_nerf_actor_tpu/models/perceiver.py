@@ -67,6 +67,7 @@ class PerceiverConfig:
     use_flash_attention: bool = False  # Pallas flash kernel (TPU)
     upsample_mode: str = "subpixel"  # "subpixel" (TPU) | "trilinear" (ref)
     conv_padding: str = "zeros"      # "zeros" (TPU) | "replicate" (ref)
+    conv_backend: str = "pallas"     # "pallas" (TPU k3 kernel) | "xla"
 
     @property
     def spatial_size(self) -> int:
@@ -243,7 +244,7 @@ class PerceiverIO(nn.Module):
                                  mode=c.upsample_mode,
                                  name="up0")(dec)           # (B, V,V,V, 64)
         u = Conv3DBlock(c.im_channels, 3, 1, c.activation, dtype=dt,
-                        padding=c.conv_padding,
+                        padding=c.conv_padding, backend=c.conv_backend,
                         name="final")(jnp.concatenate([d0, u0], axis=-1))
         # 1-output-channel conv can't fill the MXU; contract-first form
         # (exact conv) is ~10x faster at 100^3

@@ -94,3 +94,39 @@ def conv3d_k3_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def _xla_conv3d(x, kernel, bias):
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+@jax.custom_vjp
+def conv3d_k3(x: jnp.ndarray, kernel: jnp.ndarray,
+              bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """k3/s1/zero-pad 3-D conv: Pallas forward on TPU (3.6x the in-graph
+    XLA conv at 100^3), XLA fallback elsewhere; XLA convs for the backward
+    (a custom_vjp — pallas_call has no autodiff)."""
+    if jax.default_backend() == "tpu":
+        return conv3d_k3_pallas(x, kernel, bias)
+    return _xla_conv3d(x, kernel, bias)
+
+
+def _conv3d_k3_fwd(x, kernel, bias):
+    return conv3d_k3(x, kernel, bias), (x, kernel, bias is not None)
+
+
+def _conv3d_k3_bwd(res, g):
+    x, kernel, has_bias = res
+    bias0 = jnp.zeros((kernel.shape[-1],), x.dtype)
+    _, vjp = jax.vjp(_xla_conv3d, x, kernel, bias0)
+    dx, dk, db = vjp(g)
+    return dx, dk, (db if has_bias else None)
+
+
+conv3d_k3.defvjp(_conv3d_k3_fwd, _conv3d_k3_bwd)
