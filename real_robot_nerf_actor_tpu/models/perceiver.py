@@ -67,7 +67,10 @@ class PerceiverConfig:
     use_flash_attention: bool = False  # Pallas flash kernel (TPU)
     upsample_mode: str = "subpixel"  # "subpixel" (TPU) | "trilinear" (ref)
     conv_padding: str = "zeros"      # "zeros" (TPU) | "replicate" (ref)
-    conv_backend: str = "pallas"     # "pallas" (TPU k3 kernel) | "xla"
+    # the Pallas k3 kernel wins standalone (3.1 vs ~11 ms) but loses
+    # in-graph (layout materialization at the pallas_call boundary +
+    # pad copies outweigh it: 48.5 vs 41.5 ms full forward) — keep "xla"
+    conv_backend: str = "xla"        # "xla" | "pallas" (k3/s1/zeros)
 
     @property
     def spatial_size(self) -> int:
