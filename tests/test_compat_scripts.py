@@ -60,3 +60,23 @@ def test_cli_scripts_smoke(tmp_path, script, args):
                        env=_ENV, capture_output=True, text=True, timeout=900,
                        cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_yaml_configs_load():
+    from real_robot_nerf_actor_tpu.train import PerActConfig, NerfActConfig
+    from real_robot_nerf_actor_tpu.train.featurenerf import FeatureNerfConfig
+    from real_robot_nerf_actor_tpu.utils.config import load_config
+    p = load_config(PerActConfig, os.path.join(REPO, "configs/peract.yaml"),
+                    overrides=[])
+    assert p.model.num_latents == 2048 and p.train.optim.lr == 1e-4
+    n = load_config(NerfActConfig, os.path.join(REPO, "configs/nerfact.yaml"))
+    assert n.lambda_nerf == 10.0
+    assert n.peract.model.input_encoder == "unet"
+    assert n.renderer.field.d_embed == 512
+    f = load_config(FeatureNerfConfig,
+                    os.path.join(REPO, "configs/featurenerf.yaml"))
+    assert f.model.d_embed == 384
+    # dot-path override
+    p2 = load_config(PerActConfig, os.path.join(REPO, "configs/peract.yaml"),
+                     overrides=["train.optim.lr=3e-4", "model.depth=2"])
+    assert p2.train.optim.lr == 3e-4 and p2.model.depth == 2
