@@ -125,16 +125,12 @@ class PatchifyConv3D(nn.Module):
         b, d, h, w, c = x.shape
         p = self.patch
         assert d % p == 0 and h % p == 0 and w % p == 0
-        kernel = self.param("kernel", init_for(self.activation),
-                            (p * p * p * c, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        xr = x.reshape(b, d // p, p, h // p, p, w // p, p, c)
-        # one einsum instead of transpose+reshape+dense: lets XLA pick the
-        # layout instead of materializing the 8-D permuted copy
-        wk = kernel.reshape(p, p, p, c, self.features).astype(self.dtype)
-        y = jnp.einsum("biajekgd,aegdf->bijkf", xr.astype(self.dtype), wk)
-        y = y + bias.astype(y.dtype)
-        return act_fn(self.activation)(y)
+        x = x.reshape(b, d // p, p, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            b, d // p, h // p, w // p, p * p * p * c)
+        x = nn.Dense(self.features, kernel_init=init_for(self.activation),
+                     dtype=self.dtype)(x)
+        return act_fn(self.activation)(x)
 
 
 class SubpixelUpsample3D(nn.Module):

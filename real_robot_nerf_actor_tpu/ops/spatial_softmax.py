@@ -33,13 +33,12 @@ def spatial_softmax_3d(feature: jnp.ndarray, temperature: float = 0.01) -> jnp.n
     """
     b, d, h, w, c = feature.shape
     px, py, pz = _pos_grids(d, h, w, jnp.float32)
-    # channels-last layout kept (no transpose copy of the 100^3 map);
     # fp32: at temperature 0.01 over 1e6 elements bf16 softmax loses the mode
-    flat = feature.reshape(b, d * h * w, c).astype(jnp.float32) / temperature
-    m = jnp.max(flat, axis=1, keepdims=True)
-    e = jnp.exp(flat - m)
-    denom = jnp.sum(e, axis=1)                      # (B, C)
-    pos = jnp.stack([px, py, pz], axis=-1)          # (DHW, 3)
-    num = jnp.einsum("bnc,nk->bck", e, pos)         # (B, C, 3)
-    kp = num / denom[..., None]
+    flat = feature.transpose(0, 4, 1, 2, 3).reshape(
+        b * c, d * h * w).astype(jnp.float32)
+    att = jax.nn.softmax(flat / temperature, axis=-1)
+    ex = att @ px
+    ey = att @ py
+    ez = att @ pz
+    kp = jnp.stack([ex, ey, ez], axis=-1)  # (B*C, 3)
     return kp.reshape(b, c * 3)
