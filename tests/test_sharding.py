@@ -57,3 +57,41 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_make_data_parallel_step_peract():
+    """8-way dp: the wrapped PerAct step runs and matches single-device."""
+    from real_robot_nerf_actor_tpu.parallel.train_dp import (
+        make_data_parallel_step)
+    from tests.test_train import tiny_peract, _truncate_points
+    from real_robot_nerf_actor_tpu.train import PerActTrainer
+
+    tr = PerActTrainer(tiny_peract())
+    data = _truncate_points(tr.synthetic_data(batch_size=8))
+    batch = next(data)
+    state = tr.init_state(jax.random.key(0))
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    step, place_state, place_batch = make_data_parallel_step(
+        tr.train_step, mesh, state, batch)
+    st = place_state(state)
+    bt = place_batch(batch)
+    st2, m = step(st, bt, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    # single-device result matches the sharded one
+    st_ref, m_ref = jax.jit(tr.train_step)(state, batch, jax.random.key(1))
+    np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]),
+                               rtol=1e-4)
+
+
+def test_correspondence_tools():
+    from real_robot_nerf_actor_tpu.eval.correspondence import (
+        cycle_consistency, find_correspondences)
+    rng = np.random.default_rng(0)
+    feat = rng.standard_normal((12, 14, 8)).astype(np.float32)
+    # B is A shifted by (2, 3): correspondences should recover the shift
+    feat_b = np.roll(feat, (2, 3), axis=(0, 1))
+    q = np.array([[4, 5], [6, 2], [1, 9]])
+    m, sim = find_correspondences(feat, feat_b, q)
+    np.testing.assert_array_equal(m, (q + [2, 3]) % [12, 14])
+    assert (sim > 0.99).all()
+    assert cycle_consistency(feat, feat_b, q) == 1.0
