@@ -80,3 +80,16 @@ def test_yaml_configs_load():
     p2 = load_config(PerActConfig, os.path.join(REPO, "configs/peract.yaml"),
                      overrides=["train.optim.lr=3e-4", "model.depth=2"])
     assert p2.train.optim.lr == 3e-4 and p2.model.depth == 2
+
+
+def test_featurenerf_cli_smoke(tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/train_featurenerf.py"),
+         "--steps", "2", "--log-dir", str(tmp_path / "log"),
+         "-o", "model.d_embed=8", "-o", "model.d_hidden=16",
+         "-o", "model.n_blocks=2", "-o", "model.combine_layer=1",
+         "-o", "ray_batch_size=16",
+         "-o", "renderer.n_coarse=4", "-o", "renderer.n_fine=2",
+         "-o", "renderer.n_fine_depth=0", "-o", "train.log_every=1"],
+        env=_ENV, capture_output=True, text=True, timeout=900, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
