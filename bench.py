@@ -146,6 +146,36 @@ def bench_policy(jax, rt: float, n_inner: int = 10,
     return 1.0 / per_act, per_act * 1000.0, lat[len(lat) // 2] * 1000.0
 
 
+def bench_voxelize(jax, rt: float, n_inner: int = 20):
+    """BASELINE config 2: fused multi-cam point cloud -> 100^3 feature grid."""
+    import jax.numpy as jnp
+    from real_robot_nerf_actor_tpu.ops import VoxelizerSpec, voxelize
+
+    spec = VoxelizerSpec(voxel_size=100, feature_size=3,
+                         max_num_coords=220000)
+    bounds = jnp.asarray([-0.1, -0.3, -0.2, 0.8, 0.7, 0.7])
+    pts = jax.random.uniform(jax.random.key(0), (1, spec.max_num_coords, 3),
+                             minval=-0.2, maxval=0.8)
+    cols = jax.random.uniform(jax.random.key(1), (1, spec.max_num_coords, 3),
+                              minval=-1.0, maxval=1.0)
+
+    @jax.jit
+    def rep(pts, cols):
+        def body(c, i):
+            vox = voxelize(pts + i.astype(pts.dtype) * 1e-7, cols, bounds,
+                           spec)
+            return c + jnp.sum(vox[..., -1]), None
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_inner))
+        return tot
+
+    float(rep(pts, cols))
+    import time as _t
+    t0 = _t.perf_counter()
+    float(rep(pts, cols))
+    dt = (_t.perf_counter() - t0 - rt) / n_inner
+    return 1.0 / dt
+
+
 def main():
     jax = _setup()
     rt = measure_rt_overhead(jax)
@@ -157,6 +187,10 @@ def main():
     except Exception:
         proposal_rays = 0.0
     actions_per_sec, device_ms, e2e_p50_ms = bench_policy(jax, rt)
+    try:
+        vox_per_sec = bench_voxelize(jax, rt)
+    except Exception:
+        vox_per_sec = 0.0
     print(json.dumps({
         "metric": "nerf_rays_per_sec",
         "value": round(rays_per_sec, 1),
@@ -166,6 +200,7 @@ def main():
         "policy_actions_per_sec": round(actions_per_sec, 2),
         "policy_device_ms": round(device_ms, 2),
         "policy_p50_latency_ms": round(e2e_p50_ms, 2),
+        "voxelize_220k_clouds_per_sec": round(vox_per_sec, 2),
         "dispatch_rt_ms": round(rt * 1000.0, 2),
     }))
 
