@@ -78,7 +78,7 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
     def repeat_render(params, vox, rays, key):
         # serving semantics: the scene's voxel features are fixed across
         # frames — corner-expand once, render many
-        vox_e = expand_corners(vox)
+        vox_e = expand_corners(vox).astype(dtype)
 
         def body(carry, k):
             out = r.render_rays(params, vox_e, rays, k, pre_expanded=True)
