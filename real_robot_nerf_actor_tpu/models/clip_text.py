@@ -6,8 +6,10 @@ transformer -> final LayerNorm; returns BOTH the per-token embeddings
 (B, 77, 512) — the PerceiverIO language conditioning — and the pooled
 EOT-projected feature.
 
-The vocabulary/tokenizer is the standard CLIP BPE; since checkpoints and
-the merges file aren't bundled here, the module supports:
+Tokenization: `tokenize` dispatches to the real BPE
+(`models.clip_bpe.ClipBPETokenizer`) when a merges file path is supplied
+(the standard ``bpe_simple_vocab_16e6.txt.gz``), and otherwise to the
+deterministic `tokenize_simple` stand-in. The module also supports
   (a) weight conversion from an open CLIP torch state_dict
       (`convert_torch_clip_text_weights`), and
   (b) precomputed-embedding operation (the reference treats language
@@ -48,6 +50,29 @@ def tokenize_simple(texts, context_length: int = 77,
         ids = ids[: context_length - 1] + [eot]
         out[i, : len(ids)] = ids
     return out.astype(np.int32)
+
+
+_BPE_CACHE: Dict[str, object] = {}
+
+
+def tokenize(texts, context_length: int = 77, bpe_path: str | None = None
+             ) -> np.ndarray:
+    """(B, context_length) int32 token ids with CLIP SOT/EOT framing.
+
+    With ``bpe_path`` (the standard merges file), this is the real CLIP
+    tokenizer — identical ids to the reference
+    (correspondence/clip.py:642) — required for end-to-end parity with a
+    converted checkpoint. Without it, the hash stand-in keeps synthetic
+    pipelines deterministic.
+    """
+    if bpe_path is not None:
+        tok = _BPE_CACHE.get(bpe_path)
+        if tok is None:
+            from real_robot_nerf_actor_tpu.models.clip_bpe import (
+                ClipBPETokenizer)
+            tok = _BPE_CACHE[bpe_path] = ClipBPETokenizer.from_file(bpe_path)
+        return tok.tokenize(texts, context_length)
+    return tokenize_simple(texts, context_length)
 
 
 @dataclasses.dataclass(frozen=True)
