@@ -125,7 +125,10 @@ class PixelNerfNet(nn.Module):
         }
         if cfg.regress_coord:
             res["embed"] = out[..., 4:-3]
-            res["coord_residual"] = out[..., -3:] - xyz
+            # residual vs the camera-frame (canonical) query point, view-
+            # averaged to match the view-combined MLP output (reference:
+            # models_embed.py:315-316 coord - canon_xyz; exact at NS=1).
+            res["coord_residual"] = out[..., -3:] - xyz_cam.mean(axis=0)
         else:
             res["embed"] = out[..., 4:]
         return res

@@ -51,12 +51,21 @@ class PixelNerfRenderer:
                          white_bkgd=self.cfg.white_bkgd), out
 
     def render_rays(self, variables, enc, rays, key):
-        """rays: (R, 8); enc: tuple from encode (latent, w2c, focal, c, hw)."""
+        """rays: (R, 8); enc: tuple from encode (latent, w2c, focal, c, hw).
+
+        When the field regresses coord residuals, each level also yields a
+        '<level>_coord' entry: the plain per-ray MEAN of the residual over
+        samples — not alpha-composited — matching the reference
+        (nerf_embed.py:279 coord_final = mean over the sample dim).
+        """
         c = self.cfg
         k1, k2, k3 = jax.random.split(key, 3)
         z_coarse = sample_coarse(k1, rays, c.n_coarse, c.lindisp)
-        coarse, _ = self._eval(variables, enc, rays, z_coarse)
+        coarse, raw = self._eval(variables, enc, rays, z_coarse)
         out = {"coarse": coarse}
+        if "coord_residual" in raw:
+            out["coarse_coord"] = raw["coord_residual"].reshape(
+                *z_coarse.shape, 3).mean(axis=1)
         if c.n_fine > 0:
             samps = [z_coarse]
             if c.n_fine - c.n_fine_depth > 0:
@@ -68,7 +77,10 @@ class PixelNerfRenderer:
                     k3, rays, jax.lax.stop_gradient(coarse.depth),
                     c.n_fine_depth, c.depth_std))
             z_all = jnp.sort(jnp.concatenate(samps, -1), -1)
-            out["fine"], _ = self._eval(variables, enc, rays, z_all)
+            out["fine"], raw_f = self._eval(variables, enc, rays, z_all)
+            if "coord_residual" in raw_f:
+                out["fine_coord"] = raw_f["coord_residual"].reshape(
+                    *z_all.shape, 3).mean(axis=1)
         return out
 
     def extract_radiance(self, variables, enc, rays, key):

@@ -103,3 +103,145 @@ def test_extract_radiance():
     assert out["points"].shape == (7, 5, 3)
     assert out["sigma"].shape == (7, 5)
     assert out["embed"].shape == (7, 5, 6)
+
+
+# ---------------------------------------------------------------------------
+# FeatureNeRF parity: bbox sampling, multi-view encode, attn/coord losses
+# (reference featurenerf/train/train_embed.py:147-151,185-346)
+# ---------------------------------------------------------------------------
+
+def test_sample_view_maps_matches_torch_grid_sample():
+    import pytest
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from real_robot_nerf_actor_tpu.train.featurenerf import _sample_view_maps
+
+    rng = np.random.default_rng(1)
+    nv, hf, wf, c = 3, 5, 7, 4
+    h, w = 24, 36
+    maps = rng.standard_normal((nv, hf, wf, c)).astype(np.float32)
+    r = 64
+    v = rng.integers(0, nv, r)
+    y = rng.integers(0, h, r)
+    x = rng.integers(0, w, r)
+
+    got = np.asarray(_sample_view_maps(
+        jnp.asarray(maps), jnp.asarray(v), jnp.asarray(y), jnp.asarray(x),
+        (h, w)))
+
+    # independent torch reference: the grid_sample the reference performs
+    # (align_corners=False, zero padding), with the axis-correct grid
+    gx = x.astype(np.float32) / w * 2 - 1
+    gy = y.astype(np.float32) / h * 2 - 1
+    grid = torch.as_tensor(
+        np.stack([gx, gy], -1)[None, None].repeat(nv, 0))  # (NV,1,R,2)
+    t = F.grid_sample(torch.as_tensor(maps.transpose(0, 3, 1, 2)),
+                      grid.float(), mode="bilinear",
+                      padding_mode="zeros", align_corners=False)
+    want = t[torch.as_tensor(v), :, 0, torch.arange(r)].numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_attention_norm_loss_matches_torch():
+    import pytest
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from real_robot_nerf_actor_tpu.train.featurenerf import attention_norm_loss
+
+    rng = np.random.default_rng(2)
+    embed = rng.standard_normal((40, 16)).astype(np.float32)
+    attn = rng.standard_normal((40, 6)).astype(np.float32)
+    got = float(attention_norm_loss(jnp.asarray(embed), jnp.asarray(attn)))
+
+    e = torch.as_tensor(embed)[None]
+    a = torch.as_tensor(attn)[None]
+    e_n = F.normalize(e.pow(1).mean(-1).view(e.size(0), -1))
+    a_n = F.normalize(a.pow(1).mean(-1).view(a.size(0), -1))
+    want = float((e_n - a_n).pow(2).mean())
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def _parity_batch(rng, nv=3, h=16, w=16, d=6, n_attn=4, bbox=None):
+    batch = {
+        "images": jnp.asarray(rng.uniform(0, 1, (nv, h, w, 3)), jnp.float32),
+        "poses": jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32),
+                                             (nv, 4, 4)).copy()),
+        "focal": jnp.asarray(20.0),
+        "features": jnp.asarray(
+            rng.standard_normal((nv, 4, 4, d)), jnp.float32) * 0.1,
+        "cls_attn": jnp.asarray(
+            rng.uniform(0, 1, (nv, 4, 4, n_attn)), jnp.float32),
+    }
+    if bbox is not None:
+        batch["bbox"] = jnp.asarray(np.tile(bbox, (nv, 1)), jnp.int32)
+    return batch
+
+
+def test_bbox_sampling_switch():
+    cfg = FeatureNerfConfig(model=TINY, ray_batch_size=64, no_bbox_step=100)
+    tr = FeatureNerfTrainer(cfg)
+    rng = np.random.default_rng(3)
+    batch = _parity_batch(rng, bbox=np.asarray([5, 7, 5, 7]))  # 1-pixel bbox
+    v, y, x = tr._sample_pixels(jax.random.key(0), batch, jnp.asarray(0))
+    assert (np.asarray(x) == 5).all() and (np.asarray(y) == 7).all()
+    v2, y2, x2 = tr._sample_pixels(jax.random.key(0), batch,
+                                   jnp.asarray(100))  # past no_bbox_step
+    assert not ((np.asarray(x2) == 5).all() and (np.asarray(y2) == 7).all())
+
+
+def test_attn_and_coord_losses_wired():
+    cfg = FeatureNerfConfig(
+        model=TINY,
+        renderer=PixelNerfRendererConfig(n_coarse=6, n_fine=4, n_fine_depth=2),
+        ray_batch_size=32, z_near=0.5, z_far=3.0,
+        lambda_attn=0.1, lambda_coord=0.25,
+        train=TrainConfig(num_steps=1, optim=OptimConfig(lr=1e-3)))
+    tr = FeatureNerfTrainer(cfg)
+    assert tr.cfg.model.regress_coord  # auto-enabled by lambda_coord > 0
+    state = tr.init_state(jax.random.key(0), image_shape=(16, 16))
+    batch = _parity_batch(np.random.default_rng(4))
+    state, m = jax.jit(tr.train_step)(state, batch, jax.random.key(1))
+    for k in ("loss_attn", "loss_coord", "loss_embed", "loss_rgb"):
+        assert k in m and np.isfinite(float(m[k])), k
+    assert float(m["loss_attn"]) > 0
+    assert float(m["loss_coord"]) > 0
+
+
+def test_multi_source_view_encoding():
+    cfg = FeatureNerfConfig(
+        model=TINY,
+        renderer=PixelNerfRendererConfig(n_coarse=4, n_fine=0),
+        ray_batch_size=16, z_near=0.5, z_far=3.0, nviews=(1, 2),
+        train=TrainConfig(num_steps=1, optim=OptimConfig(lr=1e-3)))
+    tr = FeatureNerfTrainer(cfg)
+    state = tr.init_state(jax.random.key(0), image_shape=(16, 16))
+    rng = np.random.default_rng(5)
+    batch = _parity_batch(rng)
+    m_by_ns = {}
+    for ns in (1, 2):
+        b = dict(batch, src_ord=jnp.arange(ns, dtype=jnp.int32))
+        _, m = jax.jit(tr.train_step)(state, b, jax.random.key(2))
+        m_by_ns[ns] = float(m["loss"])
+    assert np.isfinite(list(m_by_ns.values())).all()
+    assert m_by_ns[1] != m_by_ns[2]  # second view actually participates
+
+
+def test_scene_data_emits_src_ord_and_attn():
+    from real_robot_nerf_actor_tpu.data.scene_dataset import Scene
+    rng = np.random.default_rng(6)
+    sc = Scene(
+        images=rng.uniform(0, 1, (4, 8, 8, 3)).astype(np.float32),
+        poses=np.broadcast_to(np.eye(4, dtype=np.float32), (4, 4, 4)).copy(),
+        focal=20.0,
+        features=rng.standard_normal((4, 2, 2, 6)).astype(np.float32),
+        cls_attn=rng.uniform(0, 1, (4, 6, 2, 2)).astype(np.float32))
+    cfg = FeatureNerfConfig(model=TINY, nviews=(1, 2))
+    tr = FeatureNerfTrainer(cfg)
+    it = tr.scene_data([sc], seed=0)
+    seen_ns = set()
+    for _ in range(10):
+        b = next(it)
+        assert b["cls_attn"].shape == (4, 2, 2, 6)  # transposed to NHWC
+        seen_ns.add(int(b["src_ord"].shape[0]))
+        assert len(set(np.asarray(b["src_ord"]).tolist())) == b["src_ord"].shape[0]
+    assert seen_ns == {1, 2}
