@@ -21,6 +21,9 @@ from flax import linen as nn
 
 from real_robot_nerf_actor_tpu.models.encoder2d import (
     SpatialEncoder, SpatialEncoderConfig)
+from real_robot_nerf_actor_tpu.models.pointnet2 import PointNet2Encoder
+from real_robot_nerf_actor_tpu.models.resnet import (
+    RESNET18, RESNET34, RESNET50, TorchvisionResNet)
 from real_robot_nerf_actor_tpu.models.vit import DinoViT, ViTConfig
 
 
@@ -34,6 +37,10 @@ class Embedding:
     def init(self, key, obs_example):
         if self.module is None:
             return {}
+        # fold the registry name into the key: distinct zoo entries produce
+        # distinct features even before pretrained weights are loaded
+        import zlib
+        key = jax.random.fold_in(key, zlib.crc32(self.name.encode()))
         obs = jax.tree_util.tree_map(jnp.asarray, obs_example)
         return self.module.init(key, obs)
 
@@ -79,35 +86,6 @@ class PointNet(nn.Module):
         return jnp.max(x, axis=-2)
 
 
-class PointNet2(nn.Module):
-    """Two-level grouped PointNet (set abstraction via farthest-point-free
-    voxel hashing: group by coarse grid cells, pool, then global pool)."""
-
-    out_dim: int = 128
-    grid: int = 4
-
-    @nn.compact
-    def __call__(self, pts):
-        b, n, c = pts.shape
-        x = pts
-        for f in (64, 64):
-            x = nn.relu(nn.Dense(f)(x))
-        # coarse-grid grouping (static segment count grid^3)
-        xyz = pts[..., :3]
-        lo = jnp.min(xyz, axis=1, keepdims=True)
-        hi = jnp.max(xyz, axis=1, keepdims=True)
-        cell = jnp.clip(((xyz - lo) / (hi - lo + 1e-6) * self.grid)
-                        .astype(jnp.int32), 0, self.grid - 1)
-        seg = (cell[..., 0] * self.grid + cell[..., 1]) * self.grid + cell[..., 2]
-        pooled = jax.vmap(
-            lambda f, s: jax.ops.segment_max(f, s, num_segments=self.grid ** 3)
-        )(x, seg)
-        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
-        y = nn.relu(nn.Dense(128)(pooled))
-        y = jnp.max(y, axis=-2)
-        return nn.Dense(self.out_dim)(y)
-
-
 class FusionNet(nn.Module):
     """2D+3D fusion (the reference's pointnerf / bc_fusion path): CNN over
     the image + PointNet over the cloud, concatenated."""
@@ -133,8 +111,12 @@ class DinoCLS(nn.Module):
 
 
 def make_embedding(name: str, out_dim: Optional[int] = None,
-                   variables: Optional[dict] = None) -> Embedding:
-    """Registry lookup. Names follow the reference's zoo."""
+                   variables: Optional[dict] = None,
+                   encoder_cfg: Optional[SpatialEncoderConfig] = None
+                   ) -> Embedding:
+    """Registry lookup. Names follow the reference's zoo. ``encoder_cfg``
+    customizes the pixelnerf/featurenerf backbone (it must match the
+    FeatureNerfTrainer checkpoint the variables come from)."""
     name = name.lower()
 
     def of(module, dim):
@@ -147,26 +129,51 @@ def make_embedding(name: str, out_dim: Optional[int] = None,
                              (np.shape(o)[0], out_dim or 1)))
     if name == "simple":
         return of(SimpleCNN(out_dim or 64), out_dim or 64)
-    if name in ("resnet18", "mocov2", "pixelnerf", "featurenerf"):
-        cfg = SpatialEncoderConfig()
+    # -- resnet class: torchvision-layout backbones; mocov2/pri3d share the
+    # ResNet-50 architecture but load different pretrained checkpoints via
+    # models.resnet.convert_{torch_resnet,mocov2}_weights
+    # (reference resnet.py / mocov2.py / pri3d.py)
+    if name == "resnet18":
+        return of(TorchvisionResNet(RESNET18), RESNET18.out_dim)
+    if name == "resnet34":
+        return of(TorchvisionResNet(RESNET34), RESNET34.out_dim)
+    if name in ("resnet50", "imgnet", "mocov2", "pri3d"):
+        return of(TorchvisionResNet(RESNET50), RESNET50.out_dim)
+    # -- nerf class: pixelnerf = the SpatialEncoder backbone; featurenerf =
+    # the same encoder initialized from a FeatureNerfTrainer checkpoint
+    # (see featurenerf_encoder_variables)
+    if name in ("pixelnerf", "featurenerf"):
+        cfg = encoder_cfg or SpatialEncoderConfig()
         dim = out_dim or sum(cfg.stage_features)
         return of(PooledResNet(cfg, 0 if out_dim is None else out_dim), dim)
-    if name in ("resnet34", "resnet50", "pri3d", "mvp"):
-        cfg = SpatialEncoderConfig(blocks_per_stage=3)
-        dim = out_dim or sum(cfg.stage_features)
-        return of(PooledResNet(cfg, 0 if out_dim is None else out_dim), dim)
+    # -- transformer class
     if name == "dino":
-        m = DinoCLS()
-        return of(m, 384)
+        return of(DinoCLS(), 384)
+    if name == "mvp":   # ViT-B/16 MAE backbone (reference mvp.py), CLS token
+        m = DinoCLS(ViTConfig(patch_size=16, embed_dim=768, depth=12,
+                              num_heads=12))
+        return of(m, 768)
     if name == "pointnet":
         return of(PointNet(out_dim or 128), out_dim or 128)
     if name == "pointnet2":
-        return of(PointNet2(out_dim or 128), out_dim or 128)
+        return of(PointNet2Encoder(), 1024)
     if name in ("pointnerf", "fusion"):
         m = FusionNet(out_dim or 192)
         return Embedding(name, m, out_dim or 192,
                          apply_fn=lambda v, o: m.apply(v, o))
     raise ValueError(f"unknown embedding {name!r}")
+
+
+def featurenerf_encoder_variables(train_state) -> dict:
+    """Variables for the 'featurenerf' zoo entry from a trained
+    FeatureNerfTrainer TrainState: the pixelNeRF SpatialEncoder weights
+    learned during DINO distillation (reference featurenerf.py: loads the
+    pixelnerf checkpoint and keeps ``net.encoder``)."""
+    out = {"params": {"SpatialEncoder_0": train_state.params["encoder"]}}
+    stats = train_state.extra.get("batch_stats", {}).get("encoder")
+    if stats is not None:
+        out["batch_stats"] = {"SpatialEncoder_0": stats}
+    return out
 
 
 def probe_out_dim(emb: Embedding, obs_example, key=None) -> int:
