@@ -114,6 +114,11 @@ class MHAttention(nn.Module):
                 flash_attention)
             out = flash_attention(q, k, v)
         else:
+            # tp: heads sharded over 'model' (to_q/to_kv column-parallel,
+            # to_out row-parallel); no-op outside a tensor_parallel context
+            from real_robot_nerf_actor_tpu.parallel.constraints import (
+                shard_hidden)
+            q, k, v = (shard_hidden(t, dim=1) for t in (q, k, v))
             scale = self.dim_head ** -0.5
             sim = jnp.einsum("bhid,bhjd->bhij", q, k,
                              preferred_element_type=jnp.float32) * scale
@@ -124,6 +129,8 @@ class MHAttention(nn.Module):
                     attn, deterministic=deterministic)
             out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], inner)
+        from real_robot_nerf_actor_tpu.parallel.constraints import shard_hidden
+        out = shard_hidden(out)
         return nn.Dense(self.out_dim, name="to_out",
                         dtype=self.dtype)(out).astype(jnp.float32)
 
@@ -137,8 +144,11 @@ class GEGLUFeedForward(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype)(x)
         h, gates = jnp.split(h, 2, axis=-1)
-        return nn.Dense(self.dim, dtype=self.dtype)(
-            h * jax.nn.gelu(gates)).astype(jnp.float32)
+        # tp: Megatron cut — first Dense column-parallel, the gated hidden
+        # stays sharded, second Dense row-parallel (one psum per FF)
+        from real_robot_nerf_actor_tpu.parallel.constraints import shard_hidden
+        h = shard_hidden(h * jax.nn.gelu(gates))
+        return nn.Dense(self.dim, dtype=self.dtype)(h).astype(jnp.float32)
 
 
 class PreNormAttn(nn.Module):

@@ -30,6 +30,11 @@ class ResnetBlockFC(nn.Module):
     def __call__(self, x):
         h = nn.Dense(min(x.shape[-1], self.size_out), kernel_init=_kaiming,
                      dtype=self.dtype)(nn.relu(x))
+        # tp: the block's inner hidden is the Megatron cut (first Dense
+        # column-parallel, second row-parallel); no-op without a
+        # tensor_parallel context
+        from real_robot_nerf_actor_tpu.parallel.constraints import shard_hidden
+        h = shard_hidden(h)
         dx = nn.Dense(self.size_out, kernel_init=nn.initializers.zeros,
                       dtype=self.dtype)(nn.relu(h))
         if x.shape[-1] != self.size_out:

@@ -47,7 +47,16 @@ def make_data_parallel_step(train_step: Callable, mesh: Mesh,
         lambda x: NamedSharding(mesh, P("data", *([None] * (np.ndim(x) - 1)))),
         batch_example)
 
-    step = jax.jit(train_step, in_shardings=(state_sh, batch_sh, None),
+    def _step(state, batch, rng):
+        if tensor_parallel:
+            # activate the in-model shard_hidden constraints for this trace
+            from real_robot_nerf_actor_tpu.parallel.constraints import (
+                tensor_parallel as tp_ctx)
+            with tp_ctx(mesh):
+                return train_step(state, batch, rng)
+        return train_step(state, batch, rng)
+
+    step = jax.jit(_step, in_shardings=(state_sh, batch_sh, None),
                    out_shardings=(state_sh, None))
 
     def place_state(state):

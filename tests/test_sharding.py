@@ -95,3 +95,126 @@ def test_correspondence_tools():
     np.testing.assert_array_equal(m, (q + [2, 3]) % [12, 14])
     assert (sim > 0.99).all()
     assert cycle_consistency(feat, feat_b, q) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism (SURVEY §2.3 TP row): weights stay sharded, psum wired
+# ---------------------------------------------------------------------------
+
+def test_tensor_parallel_weights_stay_sharded():
+    """PerceiverIO forward under a 2-way 'model' mesh with in-model
+    shard_hidden constraints: the compiled program must psum partial
+    results (row-parallel Denses) instead of all-gathering full kernels,
+    and must match the replicated forward numerically."""
+    from real_robot_nerf_actor_tpu.models import PerceiverConfig, PerceiverIO
+    from real_robot_nerf_actor_tpu.parallel import tensor_parallel
+    from real_robot_nerf_actor_tpu.parallel.train_dp import shard_params_rule
+
+    cfg = PerceiverConfig(
+        depth=2, voxel_size=10, num_latents=16, latent_dim=32,
+        im_channels=8, cross_dim_head=8, latent_dim_head=8, latent_heads=2,
+        voxel_patch_size=5, final_dim=8, lang_emb_dim=16, lang_max_seq_len=4)
+    net = PerceiverIO(cfg)
+    v = cfg.voxel_size
+    vox = jax.random.normal(jax.random.key(0),
+                            (1, v, v, v, cfg.initial_dim))
+    proprio = jnp.zeros((1, cfg.low_dim_size))
+    lang = jnp.zeros((1, cfg.lang_max_seq_len, cfg.lang_emb_dim))
+    params = net.init(jax.random.key(1), vox, proprio, lang)
+
+    base = net.apply(params, vox, proprio, lang)
+
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    rule = shard_params_rule(mesh, min_size=256)
+    params_sh = jax.tree_util.tree_map(rule, params)
+    params_tp = jax.device_put(params, params_sh)
+
+    def fwd(p, a, b, c):
+        with tensor_parallel(mesh):
+            return net.apply(p, a, b, c)
+
+    fn = jax.jit(fwd, in_shardings=(params_sh, None, None, None))
+    lowered = fn.lower(params_tp, vox, proprio, lang)
+    hlo = lowered.compile().as_text()
+
+    assert "all-reduce" in hlo, "expected row-parallel psum in compiled HLO"
+    # the FF hidden kernels are (32, 256)/(256, 32); a defeated TP would
+    # all-gather them (or the (.., 256) hidden) back to full size
+    for line in hlo.splitlines():
+        if "all-gather" in line and "f32[32,256]" in line:
+            raise AssertionError(f"full FF kernel all-gathered: {line}")
+
+    out = fn(params_tp, vox, proprio, lang)
+    for got, want in zip(jax.tree_util.tree_leaves(out),
+                         jax.tree_util.tree_leaves(base)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_resnetfc_tp_matches_replicated():
+    from real_robot_nerf_actor_tpu.models.resnetfc import ResnetFC
+    from real_robot_nerf_actor_tpu.parallel import tensor_parallel
+
+    net = ResnetFC(d_out=4, n_blocks=2, d_latent=0, d_hidden=32)
+    x = jax.random.normal(jax.random.key(0), (16, 8))
+    params = net.init(jax.random.key(1), x)
+    base, _ = net.apply(params, x)
+
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+
+    def fwd(p, a):
+        with tensor_parallel(mesh):
+            return net.apply(p, a)[0]
+
+    hlo = jax.jit(fwd).lower(params, x).compile().as_text()
+    assert "all-reduce" in hlo
+    got = jax.jit(fwd)(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_multihost_jax_distributed_cpu(tmp_path):
+    """Two real processes rendezvous via jax.distributed.initialize and run
+    one global-mesh computation spanning both (SURVEY §2.3 DDP row)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    child = tmp_path / "child.py"
+    child.write_text(
+        "import sys\n"
+        "import numpy as np\n"
+        "import jax\n"
+        "import jax.numpy as jnp\n"
+        "from jax.sharding import Mesh, NamedSharding, PartitionSpec as P\n"
+        "pid = int(sys.argv[1])\n"
+        "jax.distributed.initialize(sys.argv[2], num_processes=2,\n"
+        "                           process_id=pid)\n"
+        "assert jax.device_count() == 8, jax.device_count()\n"
+        "assert len(jax.local_devices()) == 4\n"
+        "mesh = Mesh(np.array(jax.devices()).reshape(8), ('data',))\n"
+        "sh = NamedSharding(mesh, P('data'))\n"
+        "x = jax.make_array_from_process_local_data(\n"
+        "    sh, np.full(4, pid + 1.0, np.float32), (8,))\n"
+        "s = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)\n"
+        "print('GLOBAL_SUM', float(s))\n")
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_NUM_PROCESSES", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(child), str(i), f"localhost:{port}"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    # sum = 4 * 1.0 (proc 0) + 4 * 2.0 (proc 1)
+    assert "GLOBAL_SUM 12.0" in outs[0], outs[0][-2000:]
