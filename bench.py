@@ -48,7 +48,8 @@ def measure_rt_overhead(jax, n: int = 5) -> float:
 
 
 def bench_nerf_render(jax, rt: float, n_inner: int = 8,
-                      dtype: str = "bfloat16", proposal: bool = False):
+                      dtype: str = "bfloat16", proposal: bool = False,
+                      n_frames: int = 1):
     import jax.numpy as jnp
     import numpy as np
     from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
@@ -70,7 +71,11 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
     pose[2, 3] = 2.5
     rays = gen_rays(jnp.asarray(pose)[None], cfg.image_width, cfg.image_height,
                     jnp.asarray(112.0), cfg.z_near, cfg.z_far).reshape(-1, 8)
-    n_rays = rays.shape[0]  # 16384
+    if n_frames > 1:
+        # multi-frame serving throughput: concurrent frames share the scene,
+        # per-ray math identical — amortizes fixed per-render costs
+        rays = jnp.tile(rays, (n_frames, 1))
+    n_rays = rays.shape[0]  # 16384 * n_frames
 
     from real_robot_nerf_actor_tpu.ops.grid_sample import expand_corners
 
@@ -186,6 +191,11 @@ def main():
         proposal_rays = bench_nerf_render(jax, rt, proposal=True)
     except Exception:
         proposal_rays = 0.0
+    # serving throughput: 2 frames in flight (identical per-ray math)
+    try:
+        batched_rays = bench_nerf_render(jax, rt, n_frames=2, n_inner=4)
+    except Exception:
+        batched_rays = 0.0
     actions_per_sec, device_ms, e2e_p50_ms = bench_policy(jax, rt)
     try:
         vox_per_sec = bench_voxelize(jax, rt)
@@ -197,6 +207,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
         "proposal_mode_rays_per_sec": round(proposal_rays, 1),
+        "batched2_rays_per_sec": round(batched_rays, 1),
         "policy_actions_per_sec": round(actions_per_sec, 2),
         "policy_device_ms": round(device_ms, 2),
         "policy_p50_latency_ms": round(e2e_p50_ms, 2),

@@ -102,7 +102,8 @@ class VoxelNerfField(nn.Module):
 
     def __call__(self, voxel_feat: jnp.ndarray, xyz: jnp.ndarray,
                  viewdirs: Optional[jnp.ndarray] = None, coarse: bool = True,
-                 ret_last_feat: bool = False, expanded: bool = False):
+                 ret_last_feat: bool = False, expanded: bool = False,
+                 compact_heads: bool = False):
         """voxel_feat: (SB, V, V, V, d_latent) channel-last feature grid —
         or its corner-expanded (SB, V, V, V, 8*d_latent) form when
         expanded=True (ops.grid_sample.expand_corners; one TPU gather
@@ -136,6 +137,20 @@ class VoxelNerfField(nn.Module):
                 "embed": jnp.zeros((sb, b, c.d_embed), out.dtype),
             }
         mlp = self.mlp_coarse if (coarse or self.share_mlp) else self.mlp_fine
+        if compact_heads:
+            # late embed projection: the embed head is LINEAR in the last
+            # hidden, so the renderer composites relu(last) per ray and
+            # projects once with the same lin_out params (exact; see
+            # RendererConfig.late_embed). Only rgb+sigma are computed here.
+            assert not (c.regress_coord or c.regress_attention), (
+                "compact_heads supports the rgb/sigma/embed head layout")
+            out, last = mlp(mlp_in, ret_last_feat=False, head_dims=4)
+            out = out.reshape(sb, b, 4)
+            return {
+                "rgb": jax.nn.sigmoid(out[..., :3].astype(jnp.float32)),
+                "sigma": jax.nn.relu(out[..., 3].astype(jnp.float32)),
+                "hidden": jax.nn.relu(last).reshape(sb, b, -1),
+            }
         out, last = mlp(mlp_in, ret_last_feat=False)
         out = out.reshape(sb, b, c.d_out)
 

@@ -54,10 +54,16 @@ class ResnetFC(nn.Module):
 
     @nn.compact
     def __call__(self, zx: jnp.ndarray, num_views: int = 1,
-                 ret_last_feat: bool = False):
+                 ret_last_feat: bool = False,
+                 head_dims: Optional[int] = None):
         """zx: (..., d_latent + d_in). If num_views > 1 the leading axis must
         be divisible by num_views and is reduced at combine_layer.
-        Returns (out, last_hidden); out (..., d_out)."""
+        Returns (out, last_hidden); out (..., d_out).
+
+        head_dims: when set, only the first ``head_dims`` output columns are
+        computed (same ``lin_out_*`` params, sliced matmul) — the renderer's
+        late-embed-projection path computes the wide linear embed head once
+        per ray from the composited hidden instead of once per sample."""
         zx = zx.astype(self.dtype)
         if self.d_latent > 0:
             z = zx[..., : self.d_latent]
@@ -80,8 +86,13 @@ class ResnetFC(nn.Module):
                                  dtype=self.dtype, name=f"lin_z_{blkid}")(z)
             x = ResnetBlockFC(self.d_hidden, dtype=self.dtype)(x)
 
-        out = nn.Dense(self.d_out, kernel_init=_kaiming,
-                       dtype=self.dtype)(nn.relu(x))
+        kernel = self.param("lin_out_kernel", _kaiming,
+                            (self.d_hidden, self.d_out))
+        bias = self.param("lin_out_bias", nn.initializers.zeros,
+                          (self.d_out,))
+        n = self.d_out if head_dims is None else head_dims
+        out = (nn.relu(x) @ kernel[:, :n].astype(self.dtype)
+               + bias[:n].astype(self.dtype))
         if ret_last_feat:
             return jnp.concatenate([out, x], axis=-1), x
         return out, x

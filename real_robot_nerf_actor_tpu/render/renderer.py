@@ -29,7 +29,7 @@ from real_robot_nerf_actor_tpu.models.nerf_field import (
     NerfFieldConfig, VoxelNerfField)
 from real_robot_nerf_actor_tpu.ops.grid_sample import expand_corners
 from real_robot_nerf_actor_tpu.ops.compositing import (
-    CompositeOut, composite, composite_unsorted)
+    CompositeOut, composite)
 from real_robot_nerf_actor_tpu.ops.rays import gen_rays
 from real_robot_nerf_actor_tpu.ops.sampling import (
     sample_coarse, sample_fine, sample_fine_depth)
@@ -59,6 +59,11 @@ class RendererConfig:
     lambda_depth: float = 0.0
     fused_gather: bool = True   # corner-expand the grid: 1 TPU gather not 8
     reuse_coarse: bool = True   # fine pass reuses coarse MLP evaluations
+    # the embed head is linear, so compositing the last hidden and applying
+    # lin_out's embed columns ONCE PER RAY is exact (same params) and skips
+    # the per-sample wide matmul + its HBM write; see
+    # test_late_embed_matches_per_sample
+    late_embed: bool = True
     field: NerfFieldConfig = dataclasses.field(default_factory=NerfFieldConfig)
 
     @property
@@ -83,32 +88,58 @@ class NeuralRenderer:
 
     # ------------------------------------------------------------------ core
     def _eval_points(self, params, voxel_feat, rays, z_samp, coarse, key,
-                     pre_expanded=False):
-        """Evaluate the field at (rays x z_samp) -> (rgbs, sigmas, embeds)."""
+                     pre_expanded=False, compact=False):
+        """Evaluate the field at (rays x z_samp) -> (rgbs, sigmas, embeds).
+
+        With compact=True the third value is the relu'd LAST HIDDEN (the
+        late-embed-projection path) instead of the per-sample embed."""
         r, k = z_samp.shape
         pts = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
         dirs = jnp.broadcast_to(rays[:, None, 3:6], pts.shape)
         out = self.field.apply(
             params, voxel_feat, pts.reshape(1, r * k, 3),
-            dirs.reshape(1, r * k, 3), coarse=coarse, expanded=pre_expanded)
+            dirs.reshape(1, r * k, 3), coarse=coarse, expanded=pre_expanded,
+            compact_heads=compact)
         rgbs = out["rgb"].reshape(r, k, 3)
         sigmas = out["sigma"].reshape(r, k)
-        embeds = out["embed"].reshape(r, k, -1)
+        embeds = out["hidden" if compact else "embed"].reshape(r, k, -1)
         if self.cfg.noise_std > 0.0 and key is not None:
             sigmas = sigmas + jax.random.normal(key, sigmas.shape) * self.cfg.noise_std
         return rgbs, sigmas, embeds
 
+    def _late_embed_active(self) -> bool:
+        c = self.cfg
+        return (c.late_embed and self.field.share_mlp
+                and not c.field.regress_coord
+                and not c.field.regress_attention)
+
+    def _project_embed(self, params, hidden_comp, w_sum):
+        """hidden_comp: (R, d_hidden) composited relu'd hidden; w_sum: (R,)
+        sum of compositing weights. embed_ray = (sum_k w_k h_k) @ K_e
+        + (sum_k w_k) b_e — exact because the embed head is linear."""
+        p = params["params"]["mlp_coarse"]
+        dt = jnp.dtype(self.cfg.field.compute_dtype)
+        k_e = p["lin_out_kernel"][:, 4:].astype(dt)
+        b_e = p["lin_out_bias"][4:]
+        return (hidden_comp.astype(dt) @ k_e).astype(jnp.float32) \
+            + w_sum[..., None] * b_e
+
     def _eval_pass(self, params, voxel_feat, rays, z_samp, coarse, key,
-                   pre_expanded=False):
+                   pre_expanded=False, compact=False):
         """Evaluate the field at (rays x z_samp) and composite.
 
         rays: (R, 8); z_samp: (R, K) SORTED; voxel_feat: (1, V,V,V, C) — or
         the corner-expanded (1, V,V,V, 8C) grid when pre_expanded.
         """
         rgbs, sigmas, embeds = self._eval_points(
-            params, voxel_feat, rays, z_samp, coarse, key, pre_expanded)
-        return composite(z_samp, rays, rgbs, sigmas, embeds,
-                         white_bkgd=self.cfg.white_bkgd)
+            params, voxel_feat, rays, z_samp, coarse, key, pre_expanded,
+            compact)
+        out = composite(z_samp, rays, rgbs, sigmas, embeds,
+                        white_bkgd=self.cfg.white_bkgd)
+        if compact:
+            out = out._replace(embed=self._project_embed(
+                params, out.embed, out.weights.sum(-1)))
+        return out
 
     def render_rays(self, params, voxel_feat, rays, key,
                     pre_expanded: bool = False) -> dict:
@@ -123,11 +154,16 @@ class NeuralRenderer:
                 jnp.dtype(c.field.compute_dtype))
             pre_expanded = True
         k_coarse, k_fine, k_fdepth, k_n1, k_n2 = jax.random.split(key, 5)
+        late = self._late_embed_active()
         z_coarse = sample_coarse(k_coarse, rays, c.n_coarse, c.lindisp)
+        compact_c = late and not self.cfg.field.use_proposal
         vals_c = self._eval_points(params, voxel_feat, rays, z_coarse, True,
-                                   k_n1, pre_expanded)
+                                   k_n1, pre_expanded, compact=compact_c)
         coarse = composite(z_coarse, rays, *vals_c,
                            white_bkgd=c.white_bkgd)
+        if compact_c:
+            coarse = coarse._replace(embed=self._project_embed(
+                params, coarse.embed, coarse.weights.sum(-1)))
         out = {"coarse": coarse}
         if c.using_fine:
             new = []
@@ -147,7 +183,7 @@ class NeuralRenderer:
                 z_sorted = jnp.sort(z_new, axis=-1)
                 out["fine"] = self._eval_pass(params, voxel_feat, rays,
                                               z_sorted, False, k_n2,
-                                              pre_expanded)
+                                              pre_expanded, compact=late)
             elif c.reuse_coarse and self.field.share_mlp:
                 # evaluate ONLY the new samples; merge with the coarse
                 # pass's values and composite order-independently (exact —
@@ -156,9 +192,10 @@ class NeuralRenderer:
                 # rgb/embed arrays are summed segment-wise (weighted sums
                 # are order-invariant), avoiding multi-GB materializations.
                 vals_n = self._eval_points(params, voxel_feat, rays, z_new,
-                                           False, k_n2, pre_expanded)
+                                           False, k_n2, pre_expanded,
+                                           compact=compact_c)
                 from real_robot_nerf_actor_tpu.ops.compositing import (
-                    CompositeOut, compute_weights_unsorted)
+                    compute_weights_unsorted)
                 z_all = jnp.concatenate([z_coarse, z_new], axis=-1)
                 sig_all = jnp.concatenate([vals_c[1], vals_n[1]], axis=-1)
                 # order-free weights: applying an argsort permutation costs
@@ -171,6 +208,9 @@ class NeuralRenderer:
                        + jnp.sum(w_n[..., None] * vals_n[0], -2))
                 embed = (jnp.sum(w_c[..., None] * vals_c[2], -2)
                          + jnp.sum(w_n[..., None] * vals_n[2], -2))
+                if compact_c:  # vals_*[2] carry hidden: project per ray
+                    embed = self._project_embed(params, embed,
+                                                w_all.sum(-1))
                 depth = (jnp.sum(w_c * z_coarse, -1)
                          + jnp.sum(w_n * z_new, -1))
                 if c.white_bkgd:
@@ -182,7 +222,7 @@ class NeuralRenderer:
                     jnp.concatenate([z_coarse, z_new], axis=-1), axis=-1)
                 out["fine"] = self._eval_pass(params, voxel_feat, rays,
                                               z_all, False, k_n2,
-                                              pre_expanded)
+                                              pre_expanded, compact=late)
         return out
 
     # ------------------------------------------------------------- full image
@@ -228,7 +268,8 @@ class NeuralRenderer:
 
         gt_rgb: (1, H, W, 3) in [0, 1]; gt_pose: (1, 4, 4);
         gt_embed: (1, H, W, D) precomputed foundation features (the teacher
-        runs offline — see data/teachers.py); gt_depth: (1, H, W) optional.
+        runs offline — see train/distill2d.py extract_teacher_features);
+        gt_depth: (1, H, W) optional.
         Returns (loss, metrics dict).
         """
         cfg = self.cfg

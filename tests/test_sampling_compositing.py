@@ -157,3 +157,41 @@ def test_render_reuse_coarse_matches_reeval():
     np.testing.assert_allclose(np.asarray(o1["fine"].depth),
                                np.asarray(o2["fine"].depth), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_late_embed_matches_per_sample():
+    """late_embed (composite hidden, project once per ray) must equal the
+    per-sample embed path exactly (same params; the embed head is linear)."""
+    import dataclasses
+    import jax
+    from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
+    from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
+    base = RendererConfig(n_coarse=6, n_fine=4, n_fine_depth=2,
+                          fused_gather=False,
+                          field=NerfFieldConfig(
+                              d_latent=4, d_embed=8, d_hidden=16, n_blocks=2,
+                              combine_layer=1,
+                              coord_bounds=(-1., -1., -1., 1., 1., 1.)))
+    rngs = np.random.default_rng(7)
+    rays = jnp.concatenate([
+        jnp.asarray(rngs.standard_normal((12, 3)) * 0.1, jnp.float32),
+        jnp.tile(jnp.asarray([[0., 0., -1.]]), (12, 1)),
+        jnp.full((12, 1), 0.5), jnp.full((12, 1), 2.0)], -1)
+    key = jax.random.key(2)
+    outs = {}
+    for late in (False, True):
+        for reuse in (False, True):
+            r = NeuralRenderer(dataclasses.replace(
+                base, late_embed=late, reuse_coarse=reuse))
+            params = r.init_params(jax.random.key(0))
+            vox = jax.random.normal(jax.random.key(1), (1, 4, 4, 4, 4))
+            outs[(late, reuse)] = r.render_rays(params, vox, rays, key)
+    for reuse in (False, True):
+        a, b = outs[(True, reuse)], outs[(False, reuse)]
+        for lvl in ("coarse", "fine"):
+            np.testing.assert_allclose(
+                np.asarray(a[lvl].embed), np.asarray(b[lvl].embed),
+                rtol=1e-4, atol=1e-5, err_msg=f"{lvl} reuse={reuse}")
+            np.testing.assert_allclose(
+                np.asarray(a[lvl].rgb), np.asarray(b[lvl].rgb),
+                rtol=1e-5, atol=1e-6)
