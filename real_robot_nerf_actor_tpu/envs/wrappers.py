@@ -177,11 +177,32 @@ def make_env(domain_name: str = "robot", task_name: str = "reach",
              episode_length: int = 50, action_space: str = "xyzw",
              frame_stack: int = 1, dynamic_camera: bool = False,
              domain_randomization: bool = False, camera_info: bool = False,
-             cameras: Sequence[str] = ("front",), seed: int = 0) -> gym.Env:
-    """Compose the wrapper stack (reference make_env, wrappers.py:22-118)."""
-    assert domain_name == "robot", "only the xArm robot suite is bundled"
-    env = XArmSimEnv(task_name=task_name, obs_mode=obs_mode,
-                     image_size=image_size, cameras=cameras, seed=seed)
+             cameras: Sequence[str] = ("front",), seed: int = 0,
+             embedding=None, embedding_variables=None) -> gym.Env:
+    """Compose the wrapper stack (reference make_env, wrappers.py:22-118).
+
+    domain_name: 'robot' (the bundled xArm suite), 'metaworld', or 'dmc' —
+    the latter two mirror the reference's branches and require the
+    respective package to be installed (neither is vendored here; the
+    reference vendors ~17k LoC of metaworld instead).
+    embedding(+variables): optional frozen-encoder EmbeddingWrapper, the
+    reference's embedding_model argument.
+    """
+    if domain_name == "metaworld":
+        env = _make_metaworld(task_name, seed)
+    elif domain_name == "dmc":
+        env = _make_dmc(task_name, seed)
+    elif domain_name == "robot":
+        env = XArmSimEnv(task_name=task_name, obs_mode=obs_mode,
+                         image_size=image_size, cameras=cameras, seed=seed)
+    else:
+        raise ValueError(f"unknown domain {domain_name!r}")
+    if domain_name != "robot":
+        if embedding is not None:
+            env = EmbeddingWrapper(env, embedding, embedding_variables)
+        if frame_stack > 1:
+            env = FrameStackWrapper(env, frame_stack)
+        return gym.wrappers.TimeLimit(env, max_episode_steps=episode_length)
     env = SuccessWrapper(env)
     env = ActionSpaceWrapper(env, action_space)
     if dynamic_camera:
@@ -191,7 +212,103 @@ def make_env(domain_name: str = "robot", task_name: str = "reach",
     if camera_info:
         env = CameraPosWrapper(env)
     env = GripperWrapper(env)
+    if embedding is not None:
+        env = EmbeddingWrapper(env, embedding, embedding_variables)
     if frame_stack > 1 and obs_mode == "image":
         env = FrameStackWrapper(env, frame_stack)
     env = gym.wrappers.TimeLimit(env, max_episode_steps=episode_length)
     return env
+
+
+def _make_metaworld(task_name: str, seed: int):
+    """Reference wrappers.py:86-102: metaworld goal-hidden V2 env."""
+    try:
+        from metaworld.envs import (  # type: ignore
+            ALL_V2_ENVIRONMENTS_GOAL_HIDDEN)
+    except ImportError as e:
+        raise ImportError(
+            "domain 'metaworld' requires the metaworld package (the "
+            "reference vendors it; this build uses the installed one)"
+        ) from e
+    env = ALL_V2_ENVIRONMENTS_GOAL_HIDDEN[f"{task_name}-v2-goal-hidden"]()
+    env.seed(seed)
+    return env
+
+
+def _make_dmc(task_name: str, seed: int):
+    """Reference wrappers.py:104-116: dm_control suite env via its gym
+    adapter."""
+    try:
+        from dm_control import suite  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            "domain 'dmc' requires dm_control to be installed") from e
+    domain, task = task_name.replace("-", "_").split("_", 1)
+    return suite.load(domain, task, task_kwargs={"random": seed},
+                      visualize_reward=False)
+
+
+class ObservationSpaceWrapper(gym.Wrapper):
+    """Normalize observations to a chosen modality (reference
+    wrappers.py:371-420: image/state/state+image selection with the state
+    returned alongside).
+
+    obs_mode 'state+image' yields (image, state) tuples; 'image'/'state'
+    pass through the respective array. The underlying env must expose
+    `render_state()` (our XArmSimEnv does via obs_mode switching) or emit
+    dict observations.
+    """
+
+    def __init__(self, env, observation_type: str = "image"):
+        super().__init__(env)
+        self.observation_type = observation_type
+
+    def _convert(self, obs):
+        if isinstance(obs, dict):
+            if self.observation_type == "state+image":
+                return obs["image"], obs.get("state")
+            return obs[self.observation_type.replace("state+", "")]
+        return obs
+
+    def reset(self, **kw):
+        obs, info = self.env.reset(**kw)
+        return self._convert(obs), info
+
+    def step(self, action):
+        obs, r, term, trunc, info = self.env.step(action)
+        return self._convert(obs), r, term, trunc, info
+
+
+class EmbeddingWrapper(gym.Wrapper):
+    """Replace image observations with a frozen encoder's features
+    (reference wrappers.py:130-170: each stacked frame passes through the
+    embedding separately; outputs are concatenated).
+
+    embedding: a models.representations.Embedding; variables: its params
+    (e.g. converted pretrained weights).
+    """
+
+    def __init__(self, env, embedding, variables):
+        super().__init__(env)
+        self.embedding = embedding
+        self.variables = variables
+
+    def _embed(self, obs):
+        import numpy as _np
+        arr = _np.asarray(obs)
+        if arr.dtype == _np.uint8:
+            arr = arr.astype(_np.float32) / 255.0
+        n_frames = max(arr.shape[-1] // 3, 1)
+        feats = [
+            _np.asarray(self.embedding(
+                self.variables, arr[None, ..., 3 * i:3 * (i + 1)]))[0]
+            for i in range(n_frames)]
+        return _np.concatenate(feats, -1)
+
+    def reset(self, **kw):
+        obs, info = self.env.reset(**kw)
+        return self._embed(obs), info
+
+    def step(self, action):
+        obs, r, term, trunc, info = self.env.step(action)
+        return self._embed(obs), r, term, trunc, info

@@ -133,3 +133,148 @@ class DiffusionBC:
         ob = jnp.asarray(obs)[None] if single else jnp.asarray(obs)
         a = self._jit_sample(self.params, ob, k)
         return np.asarray(a[0] if single else a)
+
+
+# ---------------------------------------------------------------------------
+# Diffusion Q-learning variant
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionQLConfig:
+    """Reference: featurenerf_robo/src/diffusion_bc/ql_diffusion.py
+    (Diffusion_QL): DDPM actor trained with BC + eta * Q loss, twin critic
+    with soft target updates, EMA actor for target actions."""
+    obs_dim: int = 7
+    action_dim: int = 4
+    hidden_dim: int = 256
+    n_timesteps: int = 100
+    beta_schedule: str = "vp"
+    lr: float = 3e-4
+    critic_lr: float = 3e-4
+    eta: float = 1.0
+    discount: float = 0.99
+    tau: float = 0.005
+    ema_decay: float = 0.995
+    update_ema_every: int = 5
+
+
+class TwinCritic(nn.Module):
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, obs, action):
+        x = jnp.concatenate([obs, action], axis=-1)
+
+        def q(name):
+            h = x
+            for i in range(2):
+                h = nn.relu(nn.Dense(self.hidden, name=f"{name}_h{i}")(h))
+            return nn.Dense(1, name=f"{name}_out")(h)[..., 0]
+
+        return q("q1"), q("q2")
+
+
+class DiffusionQL(DiffusionBC):
+    """One jitted update: critic TD step (targets from the EMA actor's full
+    reverse-diffusion sample), then actor step whose gradient flows through
+    the whole sampler scan (the reference backprops through all timesteps
+    too), plus soft target / periodic EMA updates — all in-graph."""
+
+    def __init__(self, cfg: DiffusionQLConfig, seed: int = 0):
+        base = DiffusionBCConfig(
+            obs_dim=cfg.obs_dim, action_dim=cfg.action_dim,
+            hidden_dim=cfg.hidden_dim, n_timesteps=cfg.n_timesteps,
+            beta_schedule=cfg.beta_schedule, lr=cfg.lr)
+        super().__init__(base, seed)
+        self.ql = cfg
+        self.critic = TwinCritic(cfg.hidden_dim)
+        key = jax.random.key(seed + 2)
+        self.critic_params = self.critic.init(
+            key, jnp.zeros((1, cfg.obs_dim)),
+            jnp.zeros((1, cfg.action_dim)))["params"]
+        self.critic_target = jax.tree_util.tree_map(
+            jnp.copy, self.critic_params)
+        self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
+        self.critic_tx = optax.adam(cfg.critic_lr)
+        self.critic_opt_state = self.critic_tx.init(self.critic_params)
+        self.step = 0
+        self._jit_update_ql = jax.jit(self._update_ql,
+                                      static_argnames=("do_ema",))
+
+    def _update_ql(self, params, ema_params, critic_params, critic_target,
+                   opt_state, critic_opt_state, batch, key, do_ema):
+        cfg = self.ql
+        obs, actions, next_obs, reward, not_done = batch
+        k_t, k_eps, k_next, k_new, k_coin = jax.random.split(key, 5)
+
+        # ---- critic TD step (EMA actor supplies target actions)
+        next_a = jax.lax.stop_gradient(self._sample(ema_params, next_obs,
+                                                    k_next))
+        tq1, tq2 = self.critic.apply({"params": critic_target}, next_obs,
+                                     next_a)
+        target_q = jax.lax.stop_gradient(
+            reward + not_done * cfg.discount * jnp.minimum(tq1, tq2))
+
+        def critic_loss_fn(cp):
+            q1, q2 = self.critic.apply({"params": cp}, obs, actions)
+            return jnp.mean((q1 - target_q) ** 2) + jnp.mean(
+                (q2 - target_q) ** 2)
+
+        critic_loss, cgrads = jax.value_and_grad(critic_loss_fn)(critic_params)
+        cupd, critic_opt_state = self.critic_tx.update(
+            cgrads, critic_opt_state, critic_params)
+        critic_params = optax.apply_updates(critic_params, cupd)
+
+        # ---- actor step: DDPM BC loss + eta * normalized Q loss
+        b = actions.shape[0]
+        t = jax.random.randint(k_t, (b,), 0, self.cfg.n_timesteps)
+        eps = jax.random.normal(k_eps, actions.shape)
+        ab = self.alpha_bar[t][:, None]
+        noisy = jnp.sqrt(ab) * actions + jnp.sqrt(1.0 - ab) * eps
+
+        def actor_loss_fn(p):
+            pred = self.net.apply({"params": p}, noisy, t, obs)
+            bc = jnp.mean((pred - eps) ** 2)
+            new_a = self._sample(p, obs, k_new)
+            q1n, q2n = self.critic.apply({"params": critic_params}, obs,
+                                         new_a)
+            coin = jax.random.bernoulli(k_coin)
+            q_loss = jnp.where(
+                coin,
+                -jnp.mean(q1n) / jax.lax.stop_gradient(
+                    jnp.mean(jnp.abs(q2n)) + 1e-8),
+                -jnp.mean(q2n) / jax.lax.stop_gradient(
+                    jnp.mean(jnp.abs(q1n)) + 1e-8))
+            return bc + cfg.eta * q_loss, (bc, q_loss)
+
+        (actor_loss, (bc_loss, q_loss)), agrads = jax.value_and_grad(
+            actor_loss_fn, has_aux=True)(params)
+        aupd, opt_state = self.tx.update(agrads, opt_state, params)
+        params = optax.apply_updates(params, aupd)
+
+        # ---- targets
+        critic_target = jax.tree_util.tree_map(
+            lambda p, tp: cfg.tau * p + (1 - cfg.tau) * tp,
+            critic_params, critic_target)
+        if do_ema:
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: cfg.ema_decay * e + (1 - cfg.ema_decay) * p,
+                ema_params, params)
+        metrics = {"bc_loss": bc_loss, "ql_loss": q_loss,
+                   "actor_loss": actor_loss, "critic_loss": critic_loss}
+        return (params, ema_params, critic_params, critic_target, opt_state,
+                critic_opt_state, metrics)
+
+    def update_ql(self, obs, actions, next_obs, reward, not_done):
+        self._rng, k = jax.random.split(self._rng)
+        batch = tuple(jnp.asarray(a, jnp.float32)
+                      for a in (obs, actions, next_obs, reward, not_done))
+        do_ema = (self.step % self.ql.update_ema_every) == 0
+        (self.params, self.ema_params, self.critic_params,
+         self.critic_target, self.opt_state, self.critic_opt_state,
+         metrics) = self._jit_update_ql(
+            self.params, self.ema_params, self.critic_params,
+            self.critic_target, self.opt_state, self.critic_opt_state,
+            batch, k, do_ema=do_ema)
+        self.step += 1
+        return {k_: float(v) for k_, v in metrics.items()}

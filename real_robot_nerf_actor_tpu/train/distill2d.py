@@ -54,6 +54,26 @@ def extract_teacher_features(vit_variables, images: np.ndarray,
     return np.asarray(feats), np.asarray(attn)
 
 
+def extract_clip_features(clip_variables, images: np.ndarray,
+                          cfg=None) -> np.ndarray:
+    """Batch CLIP dense-feature extraction — the reference's CLIP dumper
+    (correspondence/extract_clip_feature.py saves the visual tower's
+    prepool (H/32, W/32, 2048) maps to features_clip_2048.npz).
+
+    images (N, H, W, 3) in [0,1]; clip_variables from
+    models.clip_visual.convert_clip_visual_weights.
+    """
+    import jax
+    from real_robot_nerf_actor_tpu.models.clip_visual import (
+        ClipVisualConfig, ClipVisualResNet)
+    cfg = cfg or ClipVisualConfig()
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+    x = (np.asarray(images, np.float32) - mean) / std
+    net = ClipVisualResNet(cfg)
+    return np.asarray(jax.jit(net.apply)(clip_variables, jnp.asarray(x)))
+
+
 @dataclasses.dataclass(frozen=True)
 class Distill2DConfig:
     d_feature: int = 384

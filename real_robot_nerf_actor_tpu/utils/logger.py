@@ -67,8 +67,61 @@ class Logger:
             print(f"[{category}] step {step} | {msg} | "
                   f"t={time.time() - self._t0:.1f}s", file=sys.stderr)
 
+    def log_image_panel(self, name: str, images, step: int,
+                        category: str = "train"):
+        """Side-by-side image panel (the reference's wandb image logging,
+        trainer_wandb.py:157-220: src/gt/render/depth/embed panels hstacked
+        per vis step). images: list of (H, W, 3)-or-(H, W) float arrays in
+        [0, 1]; written as PNG under <log_dir>/panels and to TensorBoard."""
+        import numpy as np
+        panels = []
+        hmax = max(int(np.shape(im)[0]) for im in images)
+        for im in images:
+            a = np.asarray(im, np.float32)
+            if a.ndim == 2:                       # grayscale -> rgb
+                lo, hi = float(a.min()), float(a.max())
+                a = (a - lo) / (hi - lo + 1e-8)
+                a = np.stack([a] * 3, -1)
+            if a.shape[0] < hmax:                 # pad to common height
+                a = np.concatenate(
+                    [a, np.zeros((hmax - a.shape[0], *a.shape[1:]),
+                                 a.dtype)], 0)
+            panels.append(np.clip(a, 0.0, 1.0))
+        panel = np.concatenate(panels, axis=1)
+        if self._tb is not None:
+            self._tb.add_image(f"{category}/{name}", panel, step,
+                               dataformats="HWC")
+        if self.log_dir:
+            d = os.path.join(self.log_dir, "panels")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"{name}_{step:08d}.png")
+            _write_png(path, (panel * 255).astype("uint8"))
+            return path
+        return None
+
     def close(self):
         if self._jsonl is not None:
             self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+def _write_png(path: str, rgb) -> None:
+    """Minimal PNG writer (no imageio/cv2 dependency)."""
+    import struct
+    import zlib
+    import numpy as np
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[i].tobytes() for i in range(h))
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", header))
+        f.write(chunk(b"IDAT", zlib.compress(raw)))
+        f.write(chunk(b"IEND", b""))

@@ -1,0 +1,117 @@
+"""Round-2 parity additions: diffusion-QL, CLIP feature dumper,
+Embedding/ObservationSpace wrappers + metaworld/dmc branches, image panels."""
+import os
+
+import numpy as np
+import pytest
+
+
+def test_diffusion_ql_trains():
+    from real_robot_nerf_actor_tpu.rl.diffusion_bc import (
+        DiffusionQL, DiffusionQLConfig)
+    cfg = DiffusionQLConfig(obs_dim=5, action_dim=3, hidden_dim=32,
+                            n_timesteps=6, update_ema_every=2)
+    agent = DiffusionQL(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    ema_before = np.asarray(
+        next(iter(jax_leaves(agent.ema_params))), np.float32).copy()
+    for _ in range(4):
+        m = agent.update_ql(
+            rng.standard_normal((8, 5)), rng.uniform(-1, 1, (8, 3)),
+            rng.standard_normal((8, 5)), rng.standard_normal(8), np.ones(8))
+    for k in ("bc_loss", "ql_loss", "actor_loss", "critic_loss"):
+        assert np.isfinite(m[k]), (k, m)
+    # EMA actor and critic target actually move
+    ema_after = np.asarray(next(iter(jax_leaves(agent.ema_params))))
+    assert np.abs(ema_after - ema_before).max() > 0
+    a = agent.sample_action(np.zeros(5, np.float32))
+    assert a.shape == (3,) and np.abs(a).max() <= 1.0
+
+
+def jax_leaves(tree):
+    import jax
+    return jax.tree_util.tree_leaves(tree)
+
+
+def test_extract_clip_features_shapes():
+    import jax
+    from real_robot_nerf_actor_tpu.models.clip_visual import (
+        ClipVisualConfig, ClipVisualResNet)
+    from real_robot_nerf_actor_tpu.train.distill2d import extract_clip_features
+    cfg = ClipVisualConfig(layers=(1, 1, 1, 1), width=16, output_dim=24,
+                           heads=4, input_resolution=64)
+    net = ClipVisualResNet(cfg)
+    variables = net.init(jax.random.key(0), np.zeros((1, 64, 64, 3),
+                                                     np.float32))
+    imgs = np.random.default_rng(0).uniform(0, 1, (3, 64, 64, 3))
+    feats = extract_clip_features(variables, imgs, cfg)
+    assert feats.shape == (3, 2, 2, cfg.feat_dim)
+    assert np.isfinite(feats).all()
+
+
+def test_embedding_wrapper_replaces_obs():
+    import jax
+    from real_robot_nerf_actor_tpu.envs.wrappers import (
+        EmbeddingWrapper, make_env)
+    from real_robot_nerf_actor_tpu.models.representations import make_embedding
+    emb = make_embedding("simple", out_dim=8)
+    v = emb.init(jax.random.key(0), np.zeros((1, 32, 32, 3), np.float32))
+    env = make_env(task_name="reach", obs_mode="image", image_size=32,
+                   episode_length=5, embedding=emb, embedding_variables=v)
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (8,)
+    obs2, r, term, trunc, info = env.step(env.action_space.sample())
+    assert obs2.shape == (8,)
+
+
+def test_observation_space_wrapper_dict():
+    from real_robot_nerf_actor_tpu.envs.wrappers import ObservationSpaceWrapper
+
+    class DictEnv:
+        observation_space = None
+        action_space = None
+
+        def reset(self, **kw):
+            return {"image": np.zeros((4, 4, 3)), "state": np.ones(3)}, {}
+
+        def step(self, a):
+            return ({"image": np.zeros((4, 4, 3)), "state": np.ones(3)},
+                    0.0, False, False, {})
+
+    import gymnasium as gym
+    env = DictEnv()
+    w = ObservationSpaceWrapper.__new__(ObservationSpaceWrapper)
+    w.env = env
+    w.observation_type = "state+image"
+    obs, _ = w.reset()
+    assert obs[0].shape == (4, 4, 3) and obs[1].shape == (3,)
+    w.observation_type = "image"
+    obs, _ = w.reset()
+    assert obs.shape == (4, 4, 3)
+
+
+def test_make_env_unknown_domains_raise():
+    from real_robot_nerf_actor_tpu.envs.wrappers import make_env
+    with pytest.raises(ValueError):
+        make_env(domain_name="nope")
+    # metaworld/dmc branches exist; without the packages they raise
+    # ImportError mentioning the requirement (the reference vendors them)
+    for dom in ("metaworld", "dmc"):
+        try:
+            make_env(domain_name=dom, task_name="reach_v1")
+        except ImportError as e:
+            assert dom.replace("dmc", "dm_control") in str(e) or "metaworld" in str(e)
+        except Exception:
+            pass  # package present: construction may fail for other reasons
+
+
+def test_logger_image_panel(tmp_path):
+    from real_robot_nerf_actor_tpu.utils.logger import Logger
+    lg = Logger(log_dir=str(tmp_path))
+    rgb = np.random.default_rng(0).uniform(0, 1, (8, 10, 3))
+    depth = np.random.default_rng(1).uniform(0, 2, (8, 10))
+    path = lg.log_image_panel("vis", [rgb, depth, rgb], step=100)
+    assert path is not None and os.path.exists(path)
+    with open(path, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    lg.close()
