@@ -49,7 +49,7 @@ def measure_rt_overhead(jax, n: int = 5) -> float:
 
 def bench_nerf_render(jax, rt: float, n_inner: int = 8,
                       dtype: str = "bfloat16", proposal: bool = False,
-                      n_frames: int = 1):
+                      n_frames: int = 1, proposal_use_latent: bool = True):
     import jax.numpy as jnp
     import numpy as np
     from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
@@ -62,9 +62,17 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
         field=NerfFieldConfig(d_latent=64, d_embed=512, d_hidden=512,
                               n_blocks=5, combine_layer=3,
                               compute_dtype=dtype,
-                              use_proposal=proposal))
+                              use_proposal=proposal,
+                              proposal_use_latent=proposal_use_latent))
     r = NeuralRenderer(cfg)
     params = r.init_params(jax.random.key(0))
+    # a random init can land sigma <= 0 everywhere (all-zero weights); bias
+    # the density head positive so the checksum certifies a live graph
+    params["params"]["mlp_coarse"]["lin_out_bias"] = (
+        params["params"]["mlp_coarse"]["lin_out_bias"].at[3].set(1.0))
+    if proposal:
+        params["params"]["mlp_proposal"]["lin_out_bias"] = (
+            params["params"]["mlp_proposal"]["lin_out_bias"].at[3].set(1.0))
     vox = jax.random.normal(jax.random.key(1), (1, 100, 100, 100, 64))
 
     pose = np.eye(4, dtype=np.float32)
@@ -98,6 +106,7 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
 
     chk = float(repeat_render(params, vox, rays, jax.random.key(2)))  # warmup
     assert chk == chk, "NaN checksum"
+    assert chk != 0.0, "dead graph: zero checksum"
     t0 = time.perf_counter()
     float(repeat_render(params, vox, rays, jax.random.key(3)))
     dt = time.perf_counter() - t0 - rt
@@ -191,6 +200,12 @@ def main():
         proposal_rays = bench_nerf_render(jax, rt, proposal=True)
     except Exception:
         proposal_rays = 0.0
+    # faster perf mode: latent-free proposal (no grid gather on coarse)
+    try:
+        proposal_nolat_rays = bench_nerf_render(jax, rt, proposal=True,
+                                                proposal_use_latent=False)
+    except Exception:
+        proposal_nolat_rays = 0.0
     # serving throughput: 2 frames in flight (identical per-ray math)
     try:
         batched_rays = bench_nerf_render(jax, rt, n_frames=2, n_inner=4)
@@ -207,6 +222,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
         "proposal_mode_rays_per_sec": round(proposal_rays, 1),
+        "proposal_nolat_rays_per_sec": round(proposal_nolat_rays, 1),
         "batched2_rays_per_sec": round(batched_rays, 1),
         "policy_actions_per_sec": round(actions_per_sec, 2),
         "policy_device_ms": round(device_ms, 2),

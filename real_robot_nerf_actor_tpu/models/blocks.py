@@ -181,6 +181,15 @@ class Conv3DUpsampleBlock(nn.Module):
             if self.mode == "subpixel":
                 return SubpixelUpsample3D(self.features, self.stride,
                                           self.activation, self.dtype)(x)
+            if self.mode == "transpose":
+                # stride==kernel ConvTranspose: per-cell matmul written
+                # directly in the fine layout (no voxel-shuffle copies)
+                s = self.stride
+                y = nn.ConvTranspose(
+                    self.features, (s, s, s), strides=(s, s, s),
+                    kernel_init=init_for(self.activation),
+                    dtype=self.dtype)(x)
+                return act_fn(self.activation)(y)
             b, d, h, w, c = x.shape
             x = jax.image.resize(
                 x, (b, d * self.stride, h * self.stride, w * self.stride, c),

@@ -50,6 +50,11 @@ class NerfFieldConfig:
     use_proposal: bool = False
     proposal_hidden: int = 128
     proposal_blocks: int = 2
+    # latent-free proposal: the coarse sampler MLP sees only the positional
+    # code (+viewdirs), skipping the voxel-grid gather for coarse samples
+    # entirely (~1M gather rows/render at the flagship config) — the
+    # sampler learns scene geometry through training instead
+    proposal_use_latent: bool = True
 
     @property
     def d_in(self) -> int:
@@ -86,7 +91,8 @@ class VoxelNerfField(nn.Module):
                 d_hidden=c.d_hidden, combine_layer=c.combine_layer, dtype=dt)
         if c.use_proposal:
             self.mlp_proposal = ResnetFC(
-                d_out=4, n_blocks=c.proposal_blocks, d_latent=c.d_latent,
+                d_out=4, n_blocks=c.proposal_blocks,
+                d_latent=c.d_latent if c.proposal_use_latent else 0,
                 d_hidden=c.proposal_hidden, combine_layer=1000, dtype=dt)
 
     def init_all(self, voxel_feat, xyz, viewdirs=None):
@@ -115,9 +121,7 @@ class VoxelNerfField(nn.Module):
         canon = self.world_to_canonical(xyz)
         canon = jax.lax.stop_gradient(canon)
 
-        latent = sample_in_canonical_voxel(
-            voxel_feat, canon, expanded=expanded,
-            out_channels=c.d_latent)  # (SB, B, dl)
+        proposal_pass = coarse and c.use_proposal
 
         feat = canon
         if c.use_code:
@@ -127,8 +131,15 @@ class VoxelNerfField(nn.Module):
             assert viewdirs is not None
             feat = jnp.concatenate([feat, viewdirs], axis=-1)
 
-        mlp_in = jnp.concatenate([latent, feat], axis=-1).reshape(sb * b, -1)
-        if coarse and c.use_proposal:
+        if proposal_pass and not c.proposal_use_latent:
+            mlp_in = feat.reshape(sb * b, -1)
+        else:
+            latent = sample_in_canonical_voxel(
+                voxel_feat, canon, expanded=expanded,
+                out_channels=c.d_latent)  # (SB, B, dl)
+            mlp_in = jnp.concatenate([latent, feat], axis=-1).reshape(
+                sb * b, -1)
+        if proposal_pass:
             out, _ = self.mlp_proposal(mlp_in, ret_last_feat=False)
             out = out.reshape(sb, b, 4)
             return {

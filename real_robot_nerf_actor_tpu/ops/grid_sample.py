@@ -20,6 +20,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# lerp formulation for the fused path: "nested" (classic lerp tree, same
+# associativity as the 8-gather path) or "flat" (sum of corner*weight
+# products). Both are exact trilinear interpolation; see
+# test_fused_corner_gather_matches_multi.
+FUSED_LERP_MODE = "nested"
+
 
 def grid_sample_3d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Trilinear sample with align_corners=True, zeros padding.
@@ -135,27 +141,38 @@ def grid_sample_3d_fused(expanded: jnp.ndarray, coords: jnp.ndarray,
     flat = (z0c * hp + y0c) * wp + x0c
     rows = jnp.take_along_axis(
         expanded.reshape(b, dp * hp * wp, c8), flat[..., None], axis=1)
-    rows = rows.reshape(*flat.shape, 8, c)
 
     def mask(zi, yi, xi):
         inb = ((zi >= 0) & (zi < d) & (yi >= 0) & (yi < h)
                & (xi >= 0) & (xi < w))
         return inb[..., None].astype(expanded.dtype)
 
-    # corner c = dz*4 + dy*2 + dx
-    c000 = rows[..., 0, :] * mask(z0i, y0i, x0i)
-    c001 = rows[..., 1, :] * mask(z0i, y0i, x0i + 1)
-    c010 = rows[..., 2, :] * mask(z0i, y0i + 1, x0i)
-    c011 = rows[..., 3, :] * mask(z0i, y0i + 1, x0i + 1)
-    c100 = rows[..., 4, :] * mask(z0i + 1, y0i, x0i)
-    c101 = rows[..., 5, :] * mask(z0i + 1, y0i, x0i + 1)
-    c110 = rows[..., 6, :] * mask(z0i + 1, y0i + 1, x0i)
-    c111 = rows[..., 7, :] * mask(z0i + 1, y0i + 1, x0i + 1)
+    # corner block k = dz*4 + dy*2 + dx at channels [k*c, (k+1)*c) — sliced
+    # on the flat lane axis (no (N, 8, C) reshape: that reshape made XLA
+    # pick an N-minor layout for the select, forcing a transposed copy of
+    # the whole gather output)
+    corner_masks = [mask(z0i + dz, y0i + dy, x0i + dx)
+                    for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
 
-    c00 = c000 * (1 - tx) + c001 * tx
-    c01 = c010 * (1 - tx) + c011 * tx
-    c10 = c100 * (1 - tx) + c101 * tx
-    c11 = c110 * (1 - tx) + c111 * tx
+    if FUSED_LERP_MODE == "flat":
+        # weight-product form: out = sum_k rows_k * w_k, where w_k is the
+        # product of the per-axis weights (same math, flat reduction)
+        wx = (1 - tx, tx)
+        wy = (1 - ty, ty)
+        wz = (1 - tz, tz)
+        out = None
+        for k in range(8):
+            dz, dy, dx = k >> 2, (k >> 1) & 1, k & 1
+            wk = wz[dz] * wy[dy] * wx[dx] * corner_masks[k]
+            term = rows[..., k * c:(k + 1) * c] * wk
+            out = term if out is None else out + term
+        return out
+
+    cs = [rows[..., k * c:(k + 1) * c] * corner_masks[k] for k in range(8)]
+    c00 = cs[0] * (1 - tx) + cs[1] * tx
+    c01 = cs[2] * (1 - tx) + cs[3] * tx
+    c10 = cs[4] * (1 - tx) + cs[5] * tx
+    c11 = cs[6] * (1 - tx) + cs[7] * tx
     c0 = c00 * (1 - ty) + c01 * ty
     c1 = c10 * (1 - ty) + c11 * ty
     return c0 * (1 - tz) + c1 * tz

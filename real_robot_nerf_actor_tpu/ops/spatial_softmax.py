@@ -30,15 +30,19 @@ def spatial_softmax_3d(feature: jnp.ndarray, temperature: float = 0.01) -> jnp.n
 
     Equivalent to the reference applied to the channel-first tensor
     (B, C, D, H, W): each channel's volume is softmaxed independently.
+
+    Layout note: computed channel-last as ONE fused multiply-reduce over a
+    [1, x, y, z] basis — exp/scale stay inline in fp32 inside the reduction
+    (needed: at temperature 0.01 a bf16 softmax loses the mode), so no
+    channel-first transpose or fp32 copy of the 100^3 volume materializes
+    (those copies were ~20%% of the policy forward).
     """
     b, d, h, w, c = feature.shape
     px, py, pz = _pos_grids(d, h, w, jnp.float32)
-    # fp32: at temperature 0.01 over 1e6 elements bf16 softmax loses the mode
-    flat = feature.transpose(0, 4, 1, 2, 3).reshape(
-        b * c, d * h * w).astype(jnp.float32)
-    att = jax.nn.softmax(flat / temperature, axis=-1)
-    ex = att @ px
-    ey = att @ py
-    ez = att @ pz
-    kp = jnp.stack([ex, ey, ez], axis=-1)  # (B*C, 3)
+    ones = jnp.ones_like(px)
+    basis = jnp.stack([ones, px, py, pz], axis=-1).reshape(d, h, w, 1, 4)
+    m = jnp.max(feature, axis=(1, 2, 3), keepdims=True)
+    e = jnp.exp((feature - m).astype(jnp.float32) / temperature)
+    sums = jnp.sum(e[..., None] * basis[None], axis=(1, 2, 3))  # (B, C, 4)
+    kp = sums[..., 1:] / sums[..., :1]
     return kp.reshape(b, c * 3)
