@@ -71,6 +71,7 @@ class PerceiverConfig:
     # in-graph (layout materialization at the pallas_call boundary +
     # pad copies outweigh it: 48.5 vs 41.5 ms full forward) — keep "xla"
     conv_backend: str = "xla"        # "xla" | "pallas" (k3/s1/zeros)
+    stats_backend: str = "xla"       # "xla" | "pallas" spatial-softmax stats
 
     @property
     def spatial_size(self) -> int:
@@ -204,7 +205,15 @@ class PerceiverIO(nn.Module):
                              padding=c.conv_padding,
                              name="input_preprocess")(voxel_grid)
 
-        feats = [spatial_softmax_3d(d0), jnp.max(d0, axis=(1, 2, 3))]
+        def ssm(x):
+            if (c.stats_backend == "pallas" and x.shape[1] == x.shape[2]
+                    == x.shape[3] and x.shape[1] % 4 == 0):
+                from real_robot_nerf_actor_tpu.ops.stats_pallas import (
+                    spatial_softmax_3d_pallas)
+                return spatial_softmax_3d_pallas(x)
+            return spatial_softmax_3d(x)
+
+        feats = [ssm(d0), jnp.max(d0, axis=(1, 2, 3))]
 
         # ---- patchify + proprio + language sequence
         ins = PatchifyConv3D(c.im_channels, c.voxel_patch_size, c.activation,
@@ -249,7 +258,7 @@ class PerceiverIO(nn.Module):
         dec = dec[:, c.lang_max_seq_len:]                  # drop language tokens
         dec = dec.reshape(b, s, s, s, c.input_dim_before_seq)
 
-        feats.extend([spatial_softmax_3d(dec), jnp.max(dec, axis=(1, 2, 3))])
+        feats.extend([ssm(dec), jnp.max(dec, axis=(1, 2, 3))])
 
         # ---- upsample + UNet-style skip + heads
         u0 = Conv3DUpsampleBlock(c.final_dim, c.voxel_patch_size,
@@ -265,7 +274,7 @@ class PerceiverIO(nn.Module):
                                       name="trans_decoder")(
             u)[..., 0].astype(jnp.float32)
 
-        feats.extend([spatial_softmax_3d(u), jnp.max(u, axis=(1, 2, 3))])
+        feats.extend([ssm(u), jnp.max(u, axis=(1, 2, 3))])
 
         h = DenseBlock(256, c.activation, name="dense0")(
             jnp.concatenate(feats, axis=-1))

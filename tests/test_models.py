@@ -82,3 +82,4 @@ def test_perceiver_io_nerfact_variant_returns_voxel_feat():
                     mutable=["batch_stats"])
     (q_trans, q_rot_grip, q_coll, voxel_feat) = out[0]
     assert voxel_feat.shape == (1, 10, 10, 10, 8)
+

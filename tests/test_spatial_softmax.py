@@ -31,3 +31,18 @@ def test_spatial_softmax_matches_torch():
     want = torch_spatial_softmax(x)
     got = spatial_softmax_3d(jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_stats_kernel_matches_xla():
+    """spatial_softmax_3d_pallas (interpret mode) == the XLA path."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+    from real_robot_nerf_actor_tpu.ops.stats_pallas import (
+        spatial_softmax_3d_pallas)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 6)) * 0.3, jnp.float32)
+    want = spatial_softmax_3d(x)
+    with pltpu.force_tpu_interpret_mode():
+        got = spatial_softmax_3d_pallas(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
