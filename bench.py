@@ -157,7 +157,21 @@ def bench_policy(jax, rt: float, n_inner: int = 10,
         int(jnp.sum(c) + jnp.sum(rg))
         lat.append(time.perf_counter() - t0)
     lat.sort()
-    return 1.0 / per_act, per_act * 1000.0, lat[len(lat) // 2] * 1000.0
+    # pipelined serving p50: a control loop issues single-action dispatches
+    # back-to-back (jax dispatch is async), fetching results as they land.
+    # In steady state the per-action latency is the device step time — the
+    # dispatch round trip overlaps the previous action's compute. This is
+    # the number a deployment pays per action once >1 request is in flight
+    # (and what a local host pays even at depth 1: its dispatch is ~1 ms,
+    # not this sandbox tunnel's ~25 ms).
+    k = 12
+    outs = [single(params, vox, proprio, lang) for _ in range(2)]  # prime
+    t0 = time.perf_counter()
+    outs = [single(params, vox, proprio, lang) for _ in range(k)]
+    int(jnp.sum(outs[-1][0]) + jnp.sum(outs[-1][1]))
+    piped = (time.perf_counter() - t0 - rt) / k
+    return (1.0 / per_act, per_act * 1000.0, lat[len(lat) // 2] * 1000.0,
+            piped * 1000.0)
 
 
 def bench_voxelize(jax, rt: float, n_inner: int = 20):
@@ -211,7 +225,7 @@ def main():
         batched_rays = bench_nerf_render(jax, rt, n_frames=2, n_inner=4)
     except Exception:
         batched_rays = 0.0
-    actions_per_sec, device_ms, e2e_p50_ms = bench_policy(jax, rt)
+    actions_per_sec, device_ms, e2e_p50_ms, piped_p50_ms = bench_policy(jax, rt)
     try:
         vox_per_sec = bench_voxelize(jax, rt)
     except Exception:
@@ -227,6 +241,7 @@ def main():
         "policy_actions_per_sec": round(actions_per_sec, 2),
         "policy_device_ms": round(device_ms, 2),
         "policy_p50_latency_ms": round(e2e_p50_ms, 2),
+        "policy_pipelined_p50_ms": round(piped_p50_ms, 2),
         "voxelize_220k_clouds_per_sec": round(vox_per_sec, 2),
         "dispatch_rt_ms": round(rt * 1000.0, 2),
     }))

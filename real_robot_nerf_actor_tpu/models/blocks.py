@@ -20,6 +20,15 @@ from flax import linen as nn
 
 LRELU_SLOPE = 0.02
 
+# Lowering toggles (module-level for timing experiments). Both measured
+# NEGATIVE in-graph on v5e (policy forward 34.0 -> 36.3 ms each, 38.2 both):
+# a canonical-layout matmul island inside a conv-shaped graph just moves
+# the layout copies to its own boundaries — XLA's global conv layout
+# assignment wins. Kept for layouts-free graphs and as the measurement
+# record; see BENCH_NOTES.md round 2.
+POINTWISE_LOWERING = False        # 1x1x1 conv as flat matmul
+SHUFFLE_TRANSPOSE_LOWERING = False  # k==s ConvTranspose as matmul+shuffle
+
 
 def act_fn(name: Optional[str]):
     if name is None:
@@ -64,6 +73,68 @@ class DenseBlock(nn.Module):
         return act_fn(self.activation)(x)
 
 
+class PointwiseConv3D(nn.Module):
+    """1x1x1 conv lowered to a flat matmul (param-tree compatible with
+    nn.Conv: params "kernel" (1,1,1,Cin,Cout) / "bias" (Cout,)).
+
+    XLA assigns 3-D convs split spatial layouts (e.g. [100,100,8,13,C]) and
+    then inserts whole-tensor layout copies between every conv-adjacent op
+    at 100^3 (~1 ms per copy). A pointwise conv is just a matmul over
+    flattened voxels, which keeps the canonical (8,128)-tiled layout.
+    """
+
+    features: int
+    kernel_init: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (1, 1, 1, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype
+        y = x.reshape(-1, cin).astype(dt) @ kernel.reshape(
+            cin, self.features).astype(dt)
+        y = y + bias.astype(y.dtype)
+        return y.reshape(*x.shape[:-1], self.features)
+
+
+def voxel_shuffle_3d(y: jnp.ndarray, f: int, c: int) -> jnp.ndarray:
+    """(B, D, H, W, f^3*C) -> (B, D*f, H*f, W*f, C); channel blocks ordered
+    (di, dj, dk, c) with c minor (pixel-shuffle / sub-voxel interleave)."""
+    b, d, h, w, _ = y.shape
+    y = y.reshape(b, d, h, w, f, f, f, c)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return y.reshape(b, d * f, h * f, w * f, c)
+
+
+class ShuffleTransposeConv3D(nn.Module):
+    """stride==kernel ConvTranspose lowered to one matmul + voxel shuffle
+    (param-tree compatible with nn.ConvTranspose: "kernel" (s,s,s,Cin,Cout),
+    "bias" (Cout,)). Output blocks are disjoint (no overlap-add), so
+    out[s*i+di, s*j+dj, s*k+dk] = x[i,j,k] @ K[di,dj,dk] exactly."""
+
+    features: int
+    factor: int
+    kernel_init: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, cin = x.shape
+        s, co = self.factor, self.features
+        kernel = self.param("kernel", self.kernel_init, (s, s, s, cin, co))
+        bias = self.param("bias", nn.initializers.zeros, (co,))
+        dt = self.dtype
+        k2 = kernel.reshape(s ** 3, cin, co).transpose(1, 0, 2).reshape(
+            cin, s ** 3 * co)
+        y = x.reshape(-1, cin).astype(dt) @ k2.astype(dt)
+        y = (y.reshape(-1, co) + bias.astype(y.dtype)).reshape(
+            b, d, h, w, s ** 3 * co)
+        return voxel_shuffle_3d(y, s, co)
+
+
 class Conv3DBlock(nn.Module):
     """3-D conv + activation. padding='replicate' matches the reference's
     edge padding exactly but materializes a padded copy (a 0.5 GB HBM pass
@@ -89,6 +160,10 @@ class Conv3DBlock(nn.Module):
             bias = self.param("pallas_bias", nn.initializers.zeros,
                               (self.features,))
             y = conv3d_k3(x.astype(self.dtype), kernel, bias)
+            return act_fn(self.activation)(y)
+        if self.kernel_size == 1 and self.stride == 1 and POINTWISE_LOWERING:
+            y = PointwiseConv3D(self.features, init_for(self.activation),
+                                self.dtype, name="Conv_0")(x)
             return act_fn(self.activation)(y)
         pad = self.kernel_size // 2
         if pad > 0 and self.padding == "replicate":
@@ -182,13 +257,20 @@ class Conv3DUpsampleBlock(nn.Module):
                 return SubpixelUpsample3D(self.features, self.stride,
                                           self.activation, self.dtype)(x)
             if self.mode == "transpose":
-                # stride==kernel ConvTranspose: per-cell matmul written
-                # directly in the fine layout (no voxel-shuffle copies)
-                s = self.stride
-                y = nn.ConvTranspose(
-                    self.features, (s, s, s), strides=(s, s, s),
-                    kernel_init=init_for(self.activation),
-                    dtype=self.dtype)(x)
+                # stride==kernel ConvTranspose: disjoint per-cell matmul +
+                # voxel shuffle (XLA's own ConvTranspose lowering emits the
+                # same shuffle plus extra conv-layout copies)
+                if SHUFFLE_TRANSPOSE_LOWERING:
+                    y = ShuffleTransposeConv3D(
+                        self.features, self.stride,
+                        kernel_init=init_for(self.activation),
+                        dtype=self.dtype, name="ConvTranspose_0")(x)
+                else:
+                    s = self.stride
+                    y = nn.ConvTranspose(
+                        self.features, (s, s, s), strides=(s, s, s),
+                        kernel_init=init_for(self.activation),
+                        dtype=self.dtype)(x)
                 return act_fn(self.activation)(y)
             b, d, h, w, c = x.shape
             x = jax.image.resize(

@@ -83,3 +83,36 @@ def test_perceiver_io_nerfact_variant_returns_voxel_feat():
     (q_trans, q_rot_grip, q_coll, voxel_feat) = out[0]
     assert voxel_feat.shape == (1, 10, 10, 10, 8)
 
+
+
+def test_pointwise_conv_lowering_matches_xla_conv():
+    """PointwiseConv3D (flat-matmul 1x1x1 conv) is param-tree compatible
+    with nn.Conv and numerically identical."""
+    from flax import linen as nn
+    from real_robot_nerf_actor_tpu.models.blocks import (
+        PointwiseConv3D, init_for)
+
+    x = jax.random.normal(jax.random.key(0), (2, 6, 6, 6, 10))
+    pw = PointwiseConv3D(16, init_for("lrelu"))
+    p = pw.init(jax.random.key(1), x)
+    assert p["params"]["kernel"].shape == (1, 1, 1, 10, 16)
+    y_ref = nn.Conv(16, (1, 1, 1)).apply({"params": p["params"]}, x)
+    assert jnp.allclose(pw.apply(p, x), y_ref, atol=1e-5)
+
+
+def test_shuffle_transpose_conv_block_upsample():
+    """ShuffleTransposeConv3D: disjoint-block transpose conv — each 5^3
+    output block is exactly x[i,j,k] @ K[di,dj,dk] + b."""
+    from real_robot_nerf_actor_tpu.models.blocks import (
+        ShuffleTransposeConv3D, init_for)
+
+    x = jax.random.normal(jax.random.key(0), (1, 3, 3, 3, 4))
+    m = ShuffleTransposeConv3D(6, 5, init_for(None))
+    p = m.init(jax.random.key(1), x)
+    y = m.apply(p, x)
+    assert y.shape == (1, 15, 15, 15, 6)
+    k = p["params"]["kernel"]  # (5, 5, 5, 4, 6)
+    b = p["params"]["bias"]
+    expect = jnp.einsum("c,co->o", x[0, 1, 2, 0], k[3, 4, 1]) + b
+    assert jnp.allclose(y[0, 5 * 1 + 3, 5 * 2 + 4, 5 * 0 + 1], expect,
+                        atol=1e-5)
