@@ -350,6 +350,37 @@ class MultiLayer3DEncoderShallow(nn.Module):
         return nn.Conv(self.features, (1, 1, 1))(u)
 
 
+class MultiLayer3DEncoder(nn.Module):
+    """Deep 4-level 3-D UNet voxel encoder with multi-scale feature list.
+
+    Channels [32, 64, 128, 256]: stride-2 down path to 13^3, symmetric
+    transposed-conv up path with additive skips, 1x1x1 conv head. Returns
+    (out, voxel_list) where voxel_list = [input, 25^3 skip sum, 50^3 skip
+    sum] — the multi-scale features the reference exposes for downstream
+    use. Reference: network_utils.py:247-302 (MultiLayer3DEncoder).
+    """
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ch = (32, 64, 128, 256)
+        voxel_list = [x]
+        c0 = ConvBnReLU3D(ch[0])(x, train)                       # V^3 x 32
+        c2 = ConvBnReLU3D(ch[1])(
+            ConvBnReLU3D(ch[1], stride=2)(c0, train), train)     # V/2 x 64
+        c4 = ConvBnReLU3D(ch[2])(
+            ConvBnReLU3D(ch[2], stride=2)(c2, train), train)     # V/4 x 128
+        u = ConvBnReLU3D(ch[3])(
+            ConvBnReLU3D(ch[3], stride=2)(c4, train), train)     # V/8 x 256
+        u = c4 + DeconvBn3D(ch[2], out_size=c4.shape[1])(u, train)
+        voxel_list.append(u)
+        u = c2 + DeconvBn3D(ch[1], out_size=c2.shape[1])(u, train)
+        voxel_list.append(u)
+        u = c0 + DeconvBn3D(ch[0], out_size=c0.shape[1])(u, train)
+        return nn.Conv(self.features, (1, 1, 1))(u), voxel_list
+
+
 class ContractFirstConv3D(nn.Module):
     """3-D conv computed channels-first: one matmul x @ W (Cin -> taps*Cout)
     followed by 27 shifted scalar adds. Exact conv; wins when Cout is tiny

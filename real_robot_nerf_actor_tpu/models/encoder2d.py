@@ -135,3 +135,64 @@ class ImageEncoder(nn.Module):
         x = SpatialEncoder(self.cfg, name="backbone")(images, train)
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(self.latent_size)(x)
+
+
+class ConvEncoder(nn.Module):
+    """Basic convolutional encoder with a global bottleneck and skip-concat
+    up path (reference custom_encoder.py ConvEncoder).
+
+    conv_in (k7/s2) -> 3 stride-2 down stages doubling channels (skips
+    recorded) -> conv_mid (k4/s4) -> the bottleneck map is FLATTENED into
+    one vector and broadcast over the coarsest skip's spatial grid -> up
+    path deconv(k3/s2) over [broadcast|skip] concat -> deconv_last to
+    `last_channels` at half input resolution. GroupNorm + LeakyReLU
+    everywhere (the reference's default norm_layer is group norm; its
+    'reflect' same-padding is folded into SAME conv padding here).
+
+    Designed (like the reference) around 128x128 inputs, where the
+    flattened bottleneck is 2*2*mid_channels = 512 = 4x the first down
+    stage's channels.
+    """
+
+    dim_in: int = 3
+    first_channels: int = 64
+    mid_channels: int = 128
+    last_channels: int = 128
+    n_down_layers: int = 3
+    use_skip_conn: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = lambda v: jax.nn.leaky_relu(v, 0.01)
+
+        def gn(v):
+            return nn.GroupNorm(num_groups=min(32, v.shape[-1]))(v)
+
+        x = act(gn(nn.Conv(self.first_channels, (7, 7), strides=(2, 2),
+                           padding="SAME", use_bias=False,
+                           name="conv_in")(x)))
+        inters = []
+        ch = self.first_channels
+        for i in range(self.n_down_layers):
+            x = act(gn(nn.Conv(2 * ch, (3, 3), strides=(2, 2),
+                               padding="SAME", use_bias=False,
+                               name=f"conv{i}")(x)))
+            inters.append(x)
+            ch *= 2
+        x = act(gn(nn.Conv(self.mid_channels, (4, 4), strides=(4, 4),
+                           padding="SAME", use_bias=False,
+                           name="conv_mid")(x)))
+        # global bottleneck: flatten and broadcast over the coarsest skip
+        b = x.shape[0]
+        hw = inters[-1].shape[1:3]
+        x = x.reshape(b, 1, 1, -1)
+        x = jnp.broadcast_to(x, (b,) + hw + (x.shape[-1],))
+        for i in reversed(range(self.n_down_layers)):
+            if self.use_skip_conn:
+                x = jnp.concatenate([x, inters[i]], axis=-1)
+            ch //= 2
+            x = act(gn(nn.ConvTranspose(ch, (3, 3), strides=(2, 2),
+                                        padding="SAME", use_bias=False,
+                                        name=f"deconv{i}")(x)))
+        return nn.ConvTranspose(self.last_channels, (3, 3), strides=(2, 2),
+                                padding="SAME", name="deconv_last")(x)

@@ -137,6 +137,10 @@ class VoxelNerfField(nn.Module):
             latent = sample_in_canonical_voxel(
                 voxel_feat, canon, expanded=expanded,
                 out_channels=c.d_latent)  # (SB, B, dl)
+            # NOTE: ResnetFC also accepts (latent, feat) as a tuple (no
+            # concat materialization) — measured SLOWER here (105.5 vs
+            # 103.3 ms/render: XLA re-fuses the lerp into an N-minor
+            # first-layer fusion that costs more than the concat copy)
             mlp_in = jnp.concatenate([latent, feat], axis=-1).reshape(
                 sb * b, -1)
         if proposal_pass:

@@ -56,21 +56,31 @@ class ResnetFC(nn.Module):
     def __call__(self, zx: jnp.ndarray, num_views: int = 1,
                  ret_last_feat: bool = False,
                  head_dims: Optional[int] = None):
-        """zx: (..., d_latent + d_in). If num_views > 1 the leading axis must
-        be divisible by num_views and is reduced at combine_layer.
-        Returns (out, last_hidden); out (..., d_out).
+        """zx: (..., d_latent + d_in) — or a TUPLE (z, x) of the latent and
+        code parts, which skips materializing the concat (the first layer
+        consumes them separately anyway: lin_in(x) + lin_z_i(z), so a
+        caller-side concatenate is a pure whole-batch HBM round trip that
+        XLA fails to fold through the intervening reshape). If num_views >
+        1 the leading axis must be divisible by num_views and is reduced at
+        combine_layer. Returns (out, last_hidden); out (..., d_out).
 
         head_dims: when set, only the first ``head_dims`` output columns are
         computed (same ``lin_out_*`` params, sliced matmul) — the renderer's
         late-embed-projection path computes the wide linear embed head once
         per ray from the composited hidden instead of once per sample."""
-        zx = zx.astype(self.dtype)
-        if self.d_latent > 0:
-            z = zx[..., : self.d_latent]
-            x = zx[..., self.d_latent:]
+        if isinstance(zx, tuple):
+            z, x = zx
+            z = None if z is None else z.astype(self.dtype)
+            x = x.astype(self.dtype)
+            assert (z is None) == (self.d_latent == 0)
         else:
-            z = None
-            x = zx
+            zx = zx.astype(self.dtype)
+            if self.d_latent > 0:
+                z = zx[..., : self.d_latent]
+                x = zx[..., self.d_latent:]
+            else:
+                z = None
+                x = zx
         x = nn.Dense(self.d_hidden, kernel_init=_kaiming, dtype=self.dtype)(x)
 
         for blkid in range(self.n_blocks):

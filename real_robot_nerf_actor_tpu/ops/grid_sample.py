@@ -18,6 +18,7 @@ axes, so its `x` indexes the Z axis of the grid. We mirror that exactly:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # lerp formulation for the fused path: "nested" (classic lerp tree, same
@@ -25,6 +26,14 @@ import jax.numpy as jnp
 # products). Both are exact trilinear interpolation; see
 # test_fused_corner_gather_matches_multi.
 FUSED_LERP_MODE = "nested"
+# barrier after the fused lerp: stops XLA from fusing the lerp into its
+# N-minor consumers, which otherwise drags a TRANSPOSED copy of the whole
+# (N, 8C) gather output in front of it (experiment flag; measured neutral)
+FUSED_LERP_BARRIER = False
+# "pallas": ops.lerp_pallas.corner_lerp — pins canonical layouts at the
+# lerp boundaries so the N-major->N-minor transition happens on the (N, C)
+# output, not a transposed copy of the whole (N, 8C) gather output
+FUSED_LERP_BACKEND = "xla"  # "xla" | "pallas"
 
 
 def grid_sample_3d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -56,8 +65,12 @@ def grid_sample_3d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         flat = (zi_c * h + yi_c) * w + xi_c  # (B, N)
+        # indices are pre-clipped: promise_in_bounds skips the select_n
+        # (and its N-minor layout + transposed whole-output copies) that
+        # take_along_axis's default OOB handling would add
         vals = jnp.take_along_axis(
-            grid.reshape(b, d * h * w, c), flat[..., None], axis=1)
+            grid.reshape(b, d * h * w, c), flat[..., None], axis=1,
+            mode="promise_in_bounds")
         return vals * inb[..., None].astype(grid.dtype)
 
     z0i, y0i, x0i = z0.astype(jnp.int32), y0.astype(jnp.int32), x0.astype(jnp.int32)
@@ -139,8 +152,14 @@ def grid_sample_3d_fused(expanded: jnp.ndarray, coords: jnp.ndarray,
     y0c = jnp.clip(y0i, -1, h - 1) + 1
     z0c = jnp.clip(z0i, -1, d - 1) + 1
     flat = (z0c * hp + y0c) * wp + x0c
+    # indices are pre-clipped -> promise_in_bounds: the default OOB select_n
+    # forced an N-minor layout on the lerp stage plus TRANSPOSED copies of
+    # the whole (N, 8C) gather output (~9 ms/render at the flagship config)
     rows = jnp.take_along_axis(
-        expanded.reshape(b, dp * hp * wp, c8), flat[..., None], axis=1)
+        expanded.reshape(b, dp * hp * wp, c8), flat[..., None], axis=1,
+        mode="promise_in_bounds")
+    if FUSED_LERP_BARRIER:
+        rows = jax.lax.optimization_barrier(rows)
 
     def mask(zi, yi, xi):
         inb = ((zi >= 0) & (zi < d) & (yi >= 0) & (yi < h)
@@ -153,6 +172,32 @@ def grid_sample_3d_fused(expanded: jnp.ndarray, coords: jnp.ndarray,
     # the whole gather output)
     corner_masks = [mask(z0i + dz, y0i + dy, x0i + dx)
                     for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+
+    if FUSED_LERP_BACKEND == "pallas":
+        from real_robot_nerf_actor_tpu.ops.lerp_pallas import corner_lerp
+        # ALL weight math in flat (B*N,) fp32 shapes: any trailing small
+        # axis ((N,1) or (N,8)) tile-pads to 128 lanes and every op on it
+        # runs ~16-128x oversized. The kernel takes the weights TRANSPOSED
+        # as (8, B*N) for the same reason.
+        n = rows.shape[1]
+        txf = (x - x0).astype(jnp.float32).reshape(-1)
+        tyf = (y - y0).astype(jnp.float32).reshape(-1)
+        tzf = (z - z0).astype(jnp.float32).reshape(-1)
+        wxs = (1.0 - txf, txf)
+        wys = (1.0 - tyf, tyf)
+        wzs = (1.0 - tzf, tzf)
+
+        def maskf(zi, yi, xi):
+            inb = ((zi >= 0) & (zi < d) & (yi >= 0) & (yi < h)
+                   & (xi >= 0) & (xi < w))
+            return inb.reshape(-1).astype(jnp.float32)
+
+        w8 = jnp.stack(
+            [wzs[k >> 2] * wys[(k >> 1) & 1] * wxs[k & 1]
+             * maskf(z0i + (k >> 2), y0i + ((k >> 1) & 1), x0i + (k & 1))
+             for k in range(8)], axis=0)             # (8, B*N)
+        out = corner_lerp(rows.reshape(b * n, c8), w8)
+        return out.reshape(b, n, c)
 
     if FUSED_LERP_MODE == "flat":
         # weight-product form: out = sum_k rows_k * w_k, where w_k is the
@@ -175,7 +220,10 @@ def grid_sample_3d_fused(expanded: jnp.ndarray, coords: jnp.ndarray,
     c11 = cs[6] * (1 - tx) + cs[7] * tx
     c0 = c00 * (1 - ty) + c01 * ty
     c1 = c10 * (1 - ty) + c11 * ty
-    return c0 * (1 - tz) + c1 * tz
+    out = c0 * (1 - tz) + c1 * tz
+    if FUSED_LERP_BARRIER:
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 def sample_in_canonical_voxel(voxel_feat: jnp.ndarray, canon_xyz: jnp.ndarray,

@@ -45,12 +45,20 @@ class Student2D(nn.Module):
 
 def extract_teacher_features(vit_variables, images: np.ndarray,
                              cfg: ViTConfig = ViTConfig(),
-                             feature_layer: int = 9, attn_layer: int = 11):
+                             feature_layer: int = 9, attn_layer: int = 11,
+                             pca_components: int | None = None):
     """Batch DINO dense-feature extraction (correspondence/extract_dino_*):
-    images (N, H, W, 3) in [0,1] -> (features (N, gh, gw, D), attn)."""
+    images (N, H, W, 3) in [0,1] -> (features (N, gh, gw, D), attn).
+
+    pca_components: when set (and smaller than the teacher width), the
+    feature maps are PCA-reduced like the reference's renderer-loss prep
+    (neural_rendering.py:636-646) before being used as gt_embed."""
     vit = DinoViT(cfg)
     feats, attn = extract_dense_features(
         vit, vit_variables, jnp.asarray(images), feature_layer, attn_layer)
+    if pca_components is not None and pca_components < feats.shape[-1]:
+        from real_robot_nerf_actor_tpu.utils.pca import pca_fit_transform
+        feats = pca_fit_transform(feats, pca_components)
     return np.asarray(feats), np.asarray(attn)
 
 

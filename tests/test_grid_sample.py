@@ -60,3 +60,56 @@ def test_fused_corner_gather_matches_multi():
     got = grid_sample_3d_fused(exp, coords, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_lerp_backend_matches_xla():
+    """FUSED_LERP_BACKEND='pallas' (interpret off-TPU) == nested XLA lerp,
+    including out-of-range corner masking (fp32 accumulation tolerance)."""
+    from real_robot_nerf_actor_tpu.ops import grid_sample as gs
+    rng = np.random.default_rng(7)
+    b, d, h, w, c = 2, 6, 5, 7, 4
+    grid = jnp.asarray(rng.standard_normal((b, d, h, w, c)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-1.3, 1.3, (b, 300, 3)), jnp.float32)
+    exp = gs.expand_corners(grid)
+    want = gs.grid_sample_3d_fused(exp, coords, c)
+    try:
+        gs.FUSED_LERP_BACKEND = "pallas"
+        got = gs.grid_sample_3d_fused(exp, coords, c)
+    finally:
+        gs.FUSED_LERP_BACKEND = "xla"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_corner_lerp_vjp_matches_xla_formulation():
+    """corner_lerp's custom VJP == autodiff of the straightforward math."""
+    import jax
+    from real_robot_nerf_actor_tpu.ops.lerp_pallas import corner_lerp, _lerp_xla
+    rng = np.random.default_rng(8)
+    rows = jnp.asarray(rng.standard_normal((40, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((8, 40)), jnp.float32)
+
+    g = jnp.asarray(rng.standard_normal((40, 4)), jnp.float32)
+    out, vjp = jax.vjp(corner_lerp, rows, w)
+    want_out, want_vjp = jax.vjp(lambda r, wt: _lerp_xla(r, wt.T), rows, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               rtol=1e-5, atol=1e-5)
+    for a, b2 in zip(vjp(g), want_vjp(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_resnetfc_tuple_input_matches_concat():
+    import jax
+    from real_robot_nerf_actor_tpu.models.resnetfc import ResnetFC
+    mlp = ResnetFC(d_out=4, n_blocks=3, d_latent=8, d_hidden=16,
+                   combine_layer=2)
+    rng = np.random.default_rng(9)
+    z = jnp.asarray(rng.standard_normal((20, 8)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((20, 5)), jnp.float32)
+    zx = jnp.concatenate([z, x], axis=-1)
+    params = mlp.init(jax.random.key(0), zx)
+    a, _ = mlp.apply(params, zx)
+    b2, _ = mlp.apply(params, (z, x))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                               rtol=1e-6, atol=1e-6)
