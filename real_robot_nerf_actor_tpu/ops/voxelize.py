@@ -85,13 +85,15 @@ def voxelize(coords: jnp.ndarray, features: jnp.ndarray, coord_bounds: jnp.ndarr
 
     num_segments = vp * vp * vp
 
-    def scatter_one(flat_idx_b, values_b, count_b):
-        sums = jax.ops.segment_sum(values_b, flat_idx_b, num_segments=num_segments)
-        counts = jax.ops.segment_sum(count_b, flat_idx_b, num_segments=num_segments)
-        return sums, counts
+    def scatter_one(flat_idx_b, values_b):
+        # ONE scatter: the trailing ones*valid column doubles as the count
+        # (a separate count segment_sum would be a second 220k-row scatter
+        # pass — TPU scatters cost ~50 ns/row regardless of row width)
+        return jax.ops.segment_sum(values_b, flat_idx_b,
+                                   num_segments=num_segments)
 
-    sums, counts = jax.vmap(scatter_one)(flat_idx, values, valid_f)
-    counts = jnp.maximum(counts, 1.0)
+    sums = jax.vmap(scatter_one)(flat_idx, values)
+    counts = jnp.maximum(sums[..., -1:], 1.0)
     grid = (sums / counts).reshape(b, vp, vp, vp, -1)
 
     vox = grid[:, 1:-1, 1:-1, 1:-1]  # crop border cells
