@@ -57,7 +57,14 @@ class RendererConfig:
     render_tile: int = 4096         # rays per tile in full-image render
     lambda_embed: float = 0.01
     lambda_depth: float = 0.0
-    fused_gather: bool = True   # corner-expand the grid: 1 TPU gather not 8
+    # corner-expand the grid so each sample needs ONE gather row instead of
+    # eight. The expansion costs ~9 full passes over an 8x grid (plus its
+    # backward under grad), so it only pays when the render gathers more
+    # rows than the grid has cells: "auto" expands iff rays*samples >=
+    # grid cells (serving's 16384-ray frames: yes; training's 512-ray loss
+    # chunks: no — measured 331 -> 264 ms/step fp32, 253 -> 243 bf16).
+    # True/False force either path.
+    fused_gather: "bool | str" = "auto"
     reuse_coarse: bool = True   # fine pass reuses coarse MLP evaluations
     # the embed head is linear, so compositing the last hidden and applying
     # lin_out's embed columns ONCE PER RAY is exact (same params) and skips
@@ -85,6 +92,17 @@ class NeuralRenderer:
         dirs = jnp.zeros((1, 4, 3))
         return self.field.init(key, vox, xyz, dirs,
                                method=self.field.init_all)
+
+    def _should_expand(self, n_rays: int, voxel_feat) -> bool:
+        """fused_gather policy: see RendererConfig.fused_gather."""
+        fg = self.cfg.fused_gather
+        if fg != "auto":
+            return bool(fg)
+        c = self.cfg
+        samples = n_rays * (c.n_coarse + c.n_fine)
+        cells = int(voxel_feat.shape[1] * voxel_feat.shape[2]
+                    * voxel_feat.shape[3])
+        return samples >= cells
 
     # ------------------------------------------------------------------ core
     def _eval_points(self, params, voxel_feat, rays, z_samp, coarse, key,
@@ -148,7 +166,8 @@ class NeuralRenderer:
         rays: (R, 8). Returns {'coarse': CompositeOut, 'fine': CompositeOut}.
         """
         c = self.cfg
-        if c.fused_gather and not pre_expanded:
+        if not pre_expanded and self._should_expand(rays.shape[0],
+                                                    voxel_feat):
             # compute-dtype rows: gather traffic halves in bf16 configs
             voxel_feat = expand_corners(voxel_feat).astype(
                 jnp.dtype(c.field.compute_dtype))
@@ -236,7 +255,10 @@ class NeuralRenderer:
         h, w = cfg.image_height, cfg.image_width
         rays = gen_rays(tgt_pose, w, h, focal, cfg.z_near, cfg.z_far,
                         c=c_principal).reshape(-1, 8)
-        if cfg.fused_gather:
+        # full images always gather >> grid-cells rows: expand unless
+        # explicitly disabled ("auto" counts the whole image, not the tile)
+        expanded = self._should_expand(rays.shape[0], voxel_feat)
+        if expanded:
             voxel_feat = expand_corners(voxel_feat).astype(
                 jnp.dtype(cfg.field.compute_dtype))
         n = rays.shape[0]
@@ -251,7 +273,7 @@ class NeuralRenderer:
         def one_tile(args):
             rr, kk = args
             o = self.render_rays(params, voxel_feat, rr, kk,
-                                 pre_expanded=cfg.fused_gather)
+                                 pre_expanded=expanded)
             f = o.get("fine", o["coarse"])
             return f.rgb, f.embed, f.depth
 
