@@ -226,6 +226,115 @@ def grid_sample_3d_fused(expanded: jnp.ndarray, coords: jnp.ndarray,
     return out
 
 
+def _corner_weights_and_bases(coords, d, h, w, dtype=jnp.float32):
+    """Shared helper: per-corner product weights (incl. OOB masks) and the
+    clipped base index into the corner-EXPANDED (D+1,H+1,W+1) space.
+
+    coords: (B, N, 3) in [-1, 1] (torch convention). Returns
+    (w8 (B, N, 8) dtype, flat (B, N) int32 into (D+1)(H+1)(W+1))."""
+    x = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+    z = (coords[..., 2] + 1.0) * 0.5 * (d - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    tx = (x - x0).astype(dtype)
+    ty = (y - y0).astype(dtype)
+    tz = (z - z0).astype(dtype)
+    x0i, y0i, z0i = (x0.astype(jnp.int32), y0.astype(jnp.int32),
+                     z0.astype(jnp.int32))
+    wxs = (1.0 - tx, tx)
+    wys = (1.0 - ty, ty)
+    wzs = (1.0 - tz, tz)
+
+    def maskf(zi, yi, xi):
+        return (((zi >= 0) & (zi < d) & (yi >= 0) & (yi < h)
+                 & (xi >= 0) & (xi < w))).astype(dtype)
+
+    w8 = jnp.stack(
+        [wzs[k >> 2] * wys[(k >> 1) & 1] * wxs[k & 1]
+         * maskf(z0i + (k >> 2), y0i + ((k >> 1) & 1), x0i + (k & 1))
+         for k in range(8)], axis=-1)
+    hp, wp = h + 1, w + 1
+    x0c = jnp.clip(x0i, -1, w - 1) + 1
+    y0c = jnp.clip(y0i, -1, h - 1) + 1
+    z0c = jnp.clip(z0i, -1, d - 1) + 1
+    flat = (z0c * hp + y0c) * wp + x0c
+    return w8, flat
+
+
+def _make_fastbwd(gshape, gdtype_str):
+    """Build the shape-specialized custom-VJP sampler (statics closed over:
+    custom_vjp residuals may only hold JAX types)."""
+    import functools as _ft  # noqa: F401  (cache key is the args)
+    b, d, h, w, c = gshape
+    gdtype = jnp.dtype(gdtype_str)
+
+    @jax.custom_vjp
+    def sample(grid, coords):
+        return grid_sample_3d(grid, coords)
+
+    def fwd(grid, coords):
+        return grid_sample_3d(grid, coords), coords
+
+    def bwd(coords, g):
+        n = coords.shape[1]
+        w8, flat = _corner_weights_and_bases(coords, d, h, w)
+        # per-sample gradient rows in corner-expanded layout: block k =
+        # w_k * g  -> (B, N, 8C)
+        rows = (w8[..., None] * g[..., None, :].astype(jnp.float32)
+                ).reshape(b, n, 8 * c)
+        cells = (d + 1) * (h + 1) * (w + 1)
+
+        def scatter_one(flat_b, rows_b):
+            return jax.ops.segment_sum(rows_b, flat_b, num_segments=cells)
+
+        d_exp = jax.vmap(scatter_one)(flat, rows).reshape(
+            b, d + 1, h + 1, w + 1, 8, c)
+        # transpose of expand_corners: expanded row i of block (dz,dy,dx)
+        # holds grid[i-1+dz, ...]; fold with shifted slices
+        acc = None
+        for k in range(8):
+            dz, dy, dx = k >> 2, (k >> 1) & 1, k & 1
+            part = d_exp[:, 1 - dz:1 - dz + d, 1 - dy:1 - dy + h,
+                         1 - dx:1 - dx + w, k]
+            acc = part if acc is None else acc + part
+        return acc.astype(gdtype), jnp.zeros_like(coords)
+
+    sample.defvjp(fwd, bwd)
+    return sample
+
+
+_FASTBWD_CACHE: dict = {}
+
+
+def grid_sample_3d_fastbwd(grid: jnp.ndarray, coords: jnp.ndarray):
+    """grid_sample_3d with a ONE-scatter backward for the grid gradient.
+
+    Native autodiff of the 8-corner gather path emits EIGHT scatter-adds
+    into the (V^3, C) grid gradient; TPU scatters cost ~50 ns/row
+    regardless of width, so at training's ~57k sample rows that is ~23 ms
+    of serial scatter. This VJP scatters the per-sample (8C)-wide gradient
+    rows ONCE into corner-expanded index space and folds the 8 channel
+    blocks back with shifted slices (transpose of expand_corners) — one
+    row pass + two passes over the 8x buffer.
+
+    The coords gradient is NOT computed (returns zeros): every caller
+    stop-gradients the sample coordinates (models_embed.py detaches canon
+    coords the same way). Use grid_sample_3d if you need d(coords).
+
+    MEASURED NET NEGATIVE at the flagship train step (271 vs 244 ms/step
+    bf16): the ~50 ns/row scatter cost only holds for THIN rows — a
+    512-wide scatter row pays its full read-modify-write, so one wide
+    scatter loses to eight thin ones. Kept opt-in as the record; the
+    default path uses native autodiff.
+    """
+    key = (tuple(grid.shape), str(grid.dtype))
+    if key not in _FASTBWD_CACHE:
+        _FASTBWD_CACHE[key] = _make_fastbwd(*key)
+    return _FASTBWD_CACHE[key](grid, coords)
+
+
 def sample_in_canonical_voxel(voxel_feat: jnp.ndarray, canon_xyz: jnp.ndarray,
                               expanded: bool = False,
                               out_channels: int = 0) -> jnp.ndarray:

@@ -113,3 +113,24 @@ def test_resnetfc_tuple_input_matches_concat():
     b2, _ = mlp.apply(params, (z, x))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fastbwd_grid_gradient_matches_native_autodiff():
+    """grid_sample_3d_fastbwd: forward identical; d(grid) == native
+    autodiff of the 8-gather path (one-scatter backward is exact)."""
+    import jax
+    from real_robot_nerf_actor_tpu.ops.grid_sample import (
+        grid_sample_3d, grid_sample_3d_fastbwd)
+    rng = np.random.default_rng(11)
+    b, d, h, w, c = 2, 5, 6, 7, 4
+    grid = jnp.asarray(rng.standard_normal((b, d, h, w, c)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-1.3, 1.3, (b, 200, 3)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, 200, c)), jnp.float32)
+
+    out_a, vjp_a = jax.vjp(lambda g: grid_sample_3d(g, coords), grid)
+    out_b, vjp_b = jax.vjp(lambda g: grid_sample_3d_fastbwd(g, coords), grid)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vjp_a(cot)[0]),
+                               np.asarray(vjp_b(cot)[0]),
+                               rtol=1e-4, atol=1e-5)
