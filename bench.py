@@ -174,6 +174,48 @@ def bench_policy(jax, rt: float, n_inner: int = 10,
             piped * 1000.0)
 
 
+def bench_serve_pipeline(jax, rt: float, n_inner: int = 8,
+                         dtype: str = "bfloat16"):
+    """Full serving step: point cloud -> voxelize -> PerceiverIO -> action
+    decode, as ONE jitted graph (the val_real_camera_prev.py loop body)."""
+    import jax.numpy as jnp
+    from real_robot_nerf_actor_tpu.models import PerceiverConfig, PerceiverIO
+    from real_robot_nerf_actor_tpu.ops import (VoxelizerSpec,
+                                               choose_highest_action, voxelize)
+
+    cfg = PerceiverConfig(depth=6, voxel_size=100, num_latents=2048,
+                          latent_dim=512, compute_dtype=dtype)
+    spec = VoxelizerSpec(voxel_size=100, feature_size=3,
+                         max_num_coords=220000)
+    bounds = jnp.asarray([-0.1, -0.3, -0.2, 0.8, 0.7, 0.7])
+    net = PerceiverIO(cfg)
+    pts = jax.random.uniform(jax.random.key(0), (1, spec.max_num_coords, 3),
+                             minval=-0.2, maxval=0.8)
+    cols = jax.random.uniform(jax.random.key(1), (1, spec.max_num_coords, 3),
+                              minval=-1.0, maxval=1.0)
+    proprio = jnp.zeros((1, cfg.low_dim_size))
+    lang = jax.random.normal(jax.random.key(2),
+                             (1, cfg.lang_max_seq_len, cfg.lang_emb_dim))
+    vox0 = voxelize(pts, cols, bounds, spec)
+    params = net.init(jax.random.key(3), vox0, proprio, lang)
+
+    @jax.jit
+    def rep(params, pts, cols, proprio, lang):
+        def body(c, i):
+            vox = voxelize(pts + i.astype(pts.dtype) * 1e-7, cols, bounds,
+                           spec)
+            coords, rot_grip, coll = choose_highest_action(
+                *net.apply(params, vox, proprio, lang))
+            return c + jnp.sum(coords) + jnp.sum(rot_grip), None
+        tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_inner))
+        return tot
+
+    int(rep(params, pts, cols, proprio, lang))
+    t0 = time.perf_counter()
+    int(rep(params, pts, cols, proprio, lang))
+    return (time.perf_counter() - t0 - rt) / n_inner * 1000.0
+
+
 def bench_voxelize(jax, rt: float, n_inner: int = 20):
     """BASELINE config 2: fused multi-cam point cloud -> 100^3 feature grid."""
     import jax.numpy as jnp
@@ -230,6 +272,10 @@ def main():
         vox_per_sec = bench_voxelize(jax, rt)
     except Exception:
         vox_per_sec = 0.0
+    try:
+        serve_ms = bench_serve_pipeline(jax, rt)
+    except Exception:
+        serve_ms = 0.0
     print(json.dumps({
         "metric": "nerf_rays_per_sec",
         "value": round(rays_per_sec, 1),
@@ -243,6 +289,7 @@ def main():
         "policy_p50_latency_ms": round(e2e_p50_ms, 2),
         "policy_pipelined_p50_ms": round(piped_p50_ms, 2),
         "voxelize_220k_clouds_per_sec": round(vox_per_sec, 2),
+        "serve_pipeline_ms": round(serve_ms, 2),
         "dispatch_rt_ms": round(rt * 1000.0, 2),
     }))
 
