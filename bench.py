@@ -49,7 +49,8 @@ def measure_rt_overhead(jax, n: int = 5) -> float:
 
 def bench_nerf_render(jax, rt: float, n_inner: int = 8,
                       dtype: str = "bfloat16", proposal: bool = False,
-                      n_frames: int = 1, proposal_use_latent: bool = True):
+                      n_frames: int = 1, proposal_use_latent: bool = True,
+                      mlp_backend: str = "xla"):
     import jax.numpy as jnp
     import numpy as np
     from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
@@ -63,7 +64,8 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
                               n_blocks=5, combine_layer=3,
                               compute_dtype=dtype,
                               use_proposal=proposal,
-                              proposal_use_latent=proposal_use_latent))
+                              proposal_use_latent=proposal_use_latent,
+                              mlp_backend=mlp_backend))
     r = NeuralRenderer(cfg)
     params = r.init_params(jax.random.key(0))
     # a random init can land sigma <= 0 everywhere (all-zero weights); bias
@@ -267,6 +269,12 @@ def main():
         batched_rays = bench_nerf_render(jax, rt, n_frames=2, n_inner=4)
     except Exception:
         batched_rays = 0.0
+    # int8 serving mode: fused Pallas W8A8 ResnetFC (parity architecture,
+    # quantized numerics — an opt-in like the proposal sampler)
+    try:
+        int8_rays = bench_nerf_render(jax, rt, mlp_backend="pallas_int8")
+    except Exception:
+        int8_rays = 0.0
     actions_per_sec, device_ms, e2e_p50_ms, piped_p50_ms = bench_policy(jax, rt)
     try:
         vox_per_sec = bench_voxelize(jax, rt)
@@ -284,6 +292,7 @@ def main():
         "proposal_mode_rays_per_sec": round(proposal_rays, 1),
         "proposal_nolat_rays_per_sec": round(proposal_nolat_rays, 1),
         "batched2_rays_per_sec": round(batched_rays, 1),
+        "int8_rays_per_sec": round(int8_rays, 1),
         "policy_actions_per_sec": round(actions_per_sec, 2),
         "policy_device_ms": round(device_ms, 2),
         "policy_p50_latency_ms": round(e2e_p50_ms, 2),

@@ -55,6 +55,16 @@ class NerfFieldConfig:
     # entirely (~1M gather rows/render at the flagship config) — the
     # sampler learns scene geometry through training instead
     proposal_use_latent: bool = True
+    # serving-only int8 mode: the ResnetFC block matmuls run W8A8 on the
+    # v5e int8 MXU (2x the bf16 rate; the parity MLP is at the bf16
+    # roofline). Same param tree — any checkpoint serves quantized.
+    # Changes numerics (measured, see BENCH_NOTES); do not train with it.
+    quantized: bool = False
+    # "pallas_int8": the renderer's serving path runs the WHOLE ResnetFC
+    # as one fused Pallas kernel (weights resident in VMEM, W8A8 block
+    # matmuls — ops/resnetfc_pallas.py). Forward/serving only; training
+    # and non-compact paths use XLA regardless.
+    mlp_backend: str = "xla"  # "xla" | "pallas_int8"
 
     @property
     def d_in(self) -> int:
@@ -84,11 +94,13 @@ class VoxelNerfField(nn.Module):
         dt = jnp.dtype(c.compute_dtype)
         self.mlp_coarse = ResnetFC(
             d_out=c.d_out, n_blocks=c.n_blocks, d_latent=c.d_latent,
-            d_hidden=c.d_hidden, combine_layer=c.combine_layer, dtype=dt)
+            d_hidden=c.d_hidden, combine_layer=c.combine_layer, dtype=dt,
+            quantized=c.quantized)
         if not self.share_mlp:
             self.mlp_fine = ResnetFC(
                 d_out=c.d_out, n_blocks=c.n_blocks, d_latent=c.d_latent,
-                d_hidden=c.d_hidden, combine_layer=c.combine_layer, dtype=dt)
+                d_hidden=c.d_hidden, combine_layer=c.combine_layer, dtype=dt,
+                quantized=c.quantized)
         if c.use_proposal:
             self.mlp_proposal = ResnetFC(
                 d_out=4, n_blocks=c.proposal_blocks,

@@ -22,24 +22,57 @@ from flax import linen as nn
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
-class ResnetBlockFC(nn.Module):
-    size_out: int
+class QuantDense(nn.Module):
+    """Dense with dynamic W8A8 int8 compute (param-tree compatible with
+    nn.Dense: "kernel"/"bias"). Serving-only: the v5e int8 MXU path is 2x
+    the bf16 rate and the parity render's MLP is at the bf16 roofline
+    (see ops/quant.py). Weights quantize on the fly from the same fp32
+    params, so any checkpoint serves quantized via a config flag."""
+
+    features: int
+    kernel_init: Any = _kaiming
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(min(x.shape[-1], self.size_out), kernel_init=_kaiming,
-                     dtype=self.dtype)(nn.relu(x))
+        from real_robot_nerf_actor_tpu.ops.quant import int8_matmul
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        shp = x.shape
+        y = int8_matmul(x.reshape(-1, shp[-1]), kernel, out_dtype=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y.reshape(*shp[:-1], self.features)
+
+
+class ResnetBlockFC(nn.Module):
+    size_out: int
+    dtype: Any = jnp.float32
+    quantized: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        def dense(features, kernel_init, name, use_bias=True):
+            if self.quantized:
+                return QuantDense(features, kernel_init=kernel_init,
+                                  use_bias=use_bias, dtype=self.dtype,
+                                  name=name)
+            return nn.Dense(features, kernel_init=kernel_init,
+                            use_bias=use_bias, dtype=self.dtype, name=name)
+
+        h = dense(min(x.shape[-1], self.size_out), _kaiming, "Dense_0")(
+            nn.relu(x))
         # tp: the block's inner hidden is the Megatron cut (first Dense
         # column-parallel, second row-parallel); no-op without a
         # tensor_parallel context
         from real_robot_nerf_actor_tpu.parallel.constraints import shard_hidden
         h = shard_hidden(h)
-        dx = nn.Dense(self.size_out, kernel_init=nn.initializers.zeros,
-                      dtype=self.dtype)(nn.relu(h))
+        dx = dense(self.size_out, nn.initializers.zeros, "Dense_1")(
+            nn.relu(h))
         if x.shape[-1] != self.size_out:
-            x = nn.Dense(self.size_out, use_bias=False, kernel_init=_kaiming,
-                         dtype=self.dtype)(x)
+            x = dense(self.size_out, _kaiming, "Dense_2", use_bias=False)(x)
         return x + dx
 
 
@@ -51,6 +84,10 @@ class ResnetFC(nn.Module):
     combine_layer: int = 1000
     combine_type: str = "average"
     dtype: Any = jnp.float32      # compute dtype (params stay fp32)
+    # serving-only: run the 512x512 block matmuls on the int8 MXU path
+    # (dynamic W8A8; same param tree — see QuantDense). lin_in/lin_z/
+    # lin_out stay in `dtype` (small K or head dims).
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, zx: jnp.ndarray, num_views: int = 1,
@@ -94,7 +131,8 @@ class ResnetFC(nn.Module):
             if z is not None and blkid < self.combine_layer:
                 x = x + nn.Dense(self.d_hidden, kernel_init=_kaiming,
                                  dtype=self.dtype, name=f"lin_z_{blkid}")(z)
-            x = ResnetBlockFC(self.d_hidden, dtype=self.dtype)(x)
+            x = ResnetBlockFC(self.d_hidden, dtype=self.dtype,
+                              quantized=self.quantized)(x)
 
         kernel = self.param("lin_out_kernel", _kaiming,
                             (self.d_hidden, self.d_out))

@@ -122,7 +122,8 @@ def expand_corners(grid: jnp.ndarray) -> jnp.ndarray:
 
 
 def grid_sample_3d_fused(expanded: jnp.ndarray, coords: jnp.ndarray,
-                         out_channels: int) -> jnp.ndarray:
+                         out_channels: int,
+                         backend: "str | None" = None) -> jnp.ndarray:
     """Trilinear sample from a corner-expanded grid with ONE gather.
 
     expanded: (B, D+1, H+1, W+1, 8C) from expand_corners over a (D, H, W)
@@ -173,7 +174,7 @@ def grid_sample_3d_fused(expanded: jnp.ndarray, coords: jnp.ndarray,
     corner_masks = [mask(z0i + dz, y0i + dy, x0i + dx)
                     for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
 
-    if FUSED_LERP_BACKEND == "pallas":
+    if (backend or FUSED_LERP_BACKEND) == "pallas":
         from real_robot_nerf_actor_tpu.ops.lerp_pallas import corner_lerp
         # ALL weight math in flat (B*N,) fp32 shapes: any trailing small
         # axis ((N,1) or (N,8)) tile-pads to 128 lanes and every op on it
@@ -337,16 +338,21 @@ def grid_sample_3d_fastbwd(grid: jnp.ndarray, coords: jnp.ndarray):
 
 def sample_in_canonical_voxel(voxel_feat: jnp.ndarray, canon_xyz: jnp.ndarray,
                               expanded: bool = False,
-                              out_channels: int = 0) -> jnp.ndarray:
+                              out_channels: int = 0,
+                              backend: "str | None" = None) -> jnp.ndarray:
     """Sample a channel-last voxel feature grid at canonical [0,1]^3 points.
 
     voxel_feat: (B, V, V, V, C) — or the corner-expanded (B, V, V, V, 8C)
     grid when expanded=True (then out_channels must be C).
     canon_xyz: (B, N, 3) in [0, 1]. Returns (B, N, C). Mirrors
     models_embed.py:259-293 (coords scaled to [-1,1], torch xyz/W-axis
-    convention preserved).
+    convention preserved). backend overrides FUSED_LERP_MODE's
+    lerp backend for the expanded path ("pallas": ops/lerp_pallas —
+    required next to other Pallas consumers, where it wins; see
+    lerp_pallas docstring for when it loses).
     """
     coords = canon_xyz * 2.0 - 1.0
     if expanded:
-        return grid_sample_3d_fused(voxel_feat, coords, out_channels)
+        return grid_sample_3d_fused(voxel_feat, coords, out_channels,
+                                    backend=backend)
     return grid_sample_3d(voxel_feat, coords)

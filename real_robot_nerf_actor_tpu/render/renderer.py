@@ -114,16 +114,64 @@ class NeuralRenderer:
         r, k = z_samp.shape
         pts = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
         dirs = jnp.broadcast_to(rays[:, None, 3:6], pts.shape)
-        out = self.field.apply(
-            params, voxel_feat, pts.reshape(1, r * k, 3),
-            dirs.reshape(1, r * k, 3), coarse=coarse, expanded=pre_expanded,
-            compact_heads=compact)
-        rgbs = out["rgb"].reshape(r, k, 3)
-        sigmas = out["sigma"].reshape(r, k)
-        embeds = out["hidden" if compact else "embed"].reshape(r, k, -1)
+        use_fused_int8 = (self.cfg.field.mlp_backend == "pallas_int8"
+                          and compact and self.field.share_mlp
+                          and not self.cfg.field.use_proposal)
+        if use_fused_int8:
+            rgbs, sigmas, hidden = self._eval_points_fused_int8(
+                params, voxel_feat, pts.reshape(1, r * k, 3),
+                dirs.reshape(1, r * k, 3), pre_expanded)
+            rgbs = rgbs.reshape(r, k, 3)
+            sigmas = sigmas.reshape(r, k)
+            embeds = hidden.reshape(r, k, -1)
+        else:
+            out = self.field.apply(
+                params, voxel_feat, pts.reshape(1, r * k, 3),
+                dirs.reshape(1, r * k, 3), coarse=coarse,
+                expanded=pre_expanded, compact_heads=compact)
+            rgbs = out["rgb"].reshape(r, k, 3)
+            sigmas = out["sigma"].reshape(r, k)
+            embeds = out["hidden" if compact else "embed"].reshape(r, k, -1)
         if self.cfg.noise_std > 0.0 and key is not None:
             sigmas = sigmas + jax.random.normal(key, sigmas.shape) * self.cfg.noise_std
         return rgbs, sigmas, embeds
+
+    def _eval_points_fused_int8(self, params, voxel_feat, pts, dirs,
+                                pre_expanded):
+        """Serving path: ONE fused XLA materialization assembles the packed
+        MLP input row (latent lerp + wrapped pos-enc phases), then the
+        WHOLE ResnetFC runs as one fused int8 Pallas kernel
+        (ops/resnetfc_pallas.py). Mirrors VoxelNerfField.__call__'s
+        compact path (same params, W8A8 numerics)."""
+        from real_robot_nerf_actor_tpu.ops.grid_sample import (
+            sample_in_canonical_voxel)
+        from real_robot_nerf_actor_tpu.ops.resnetfc_pallas import (
+            fused_resnetfc_int8, pack_mlp_input, pack_resnetfc_params)
+        c = self.cfg.field
+        assert c.use_code and c.use_viewdirs, "fused int8 covers the " \
+            "flagship input layout (positional code + viewdirs)"
+        bounds = jnp.asarray(c.coord_bounds, dtype=pts.dtype)
+        canon = (pts - bounds[:3]) / (bounds[3:] - bounds[:3])
+        # Pallas lerp next to the Pallas MLP: with BOTH kernel boundaries
+        # row-major, XLA stops pulling the lerp/assembly into N-minor
+        # layouts (the combination measured 191.6k rays/s vs 158.5k for
+        # either kernel alone or neither — see BENCH_NOTES round 2)
+        latent = sample_in_canonical_voxel(
+            voxel_feat, canon, expanded=pre_expanded,
+            out_channels=c.d_latent,
+            backend="pallas" if pre_expanded else None)
+        n = pts.shape[1]
+        zi = pack_mlp_input(latent.reshape(n, -1), canon.reshape(n, 3),
+                            dirs.reshape(n, 3), c.num_freqs, c.freq_factor)
+        packed = pack_resnetfc_params(
+            params["params"]["mlp_coarse"], d_latent=c.d_latent,
+            num_freqs=c.num_freqs, d_hidden=c.d_hidden,
+            n_blocks=c.n_blocks, combine_layer=c.combine_layer)
+        out, hidden = fused_resnetfc_int8(zi, packed, c.n_blocks,
+                                          c.combine_layer)
+        rgb = jax.nn.sigmoid(out[:, :3].astype(jnp.float32))
+        sigma = jax.nn.relu(out[:, 3].astype(jnp.float32))
+        return rgb[None], sigma[None], hidden[None]
 
     def _late_embed_active(self) -> bool:
         c = self.cfg

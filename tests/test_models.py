@@ -116,3 +116,22 @@ def test_shuffle_transpose_conv_block_upsample():
     expect = jnp.einsum("c,co->o", x[0, 1, 2, 0], k[3, 4, 1]) + b
     assert jnp.allclose(y[0, 5 * 1 + 3, 5 * 2 + 4, 5 * 0 + 1], expect,
                         atol=1e-5)
+
+
+def test_quantized_resnetfc_same_tree_and_close_outputs():
+    """quantized=True serves the SAME param tree via W8A8 matmuls with
+    bounded relative error (dynamic per-row/per-channel int8)."""
+    from real_robot_nerf_actor_tpu.models.resnetfc import ResnetFC
+    mlp = ResnetFC(d_out=4, n_blocks=3, d_latent=8, d_hidden=64,
+                   combine_layer=2)
+    mlp_q = ResnetFC(d_out=4, n_blocks=3, d_latent=8, d_hidden=64,
+                     combine_layer=2, quantized=True)
+    zx = jax.random.normal(jax.random.key(0), (32, 13))
+    params = mlp.init(jax.random.key(1), zx)
+    tree = jax.tree.map(lambda a: a.shape, params)
+    assert tree == jax.tree.map(lambda a: a.shape, mlp_q.init(
+        jax.random.key(1), zx))
+    a, _ = mlp.apply(params, zx)
+    b, _ = mlp_q.apply(params, zx)
+    err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-8))
+    assert err < 0.05, err
