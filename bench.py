@@ -33,7 +33,10 @@ def _setup():
     return jax
 
 
-def measure_rt_overhead(jax, n: int = 5) -> float:
+def measure_rt_overhead(jax, n: int = 9) -> float:
+    """Median-of-9 dispatch round trip: the tunnel occasionally spikes to
+    100+ ms, and an inflated rt subtraction silently flatters every
+    measurement (a 124 ms outlier once faked +20k rays/s)."""
     import jax.numpy as jnp
     f = jax.jit(lambda x: jnp.sum(x + 1.0))
     x = jnp.zeros((8, 128))
