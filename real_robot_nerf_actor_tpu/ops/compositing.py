@@ -41,17 +41,23 @@ def compute_weights(z_sorted: jnp.ndarray, sigmas_sorted: jnp.ndarray,
 
 def composite(z_samp: jnp.ndarray, rays: jnp.ndarray, rgbs: jnp.ndarray,
               sigmas: jnp.ndarray, embeds: jnp.ndarray,
-              white_bkgd: bool = False) -> CompositeOut:
+              white_bkgd: bool = False,
+              embeds_kmajor: bool = False) -> CompositeOut:
     """Alpha-composite per-sample radiance into per-ray outputs.
 
     z_samp: (B, K) sorted depths; rays: (B, 8); rgbs: (B, K, 3);
     sigmas: (B, K) (pre-activation or relu'd — relu is idempotent);
-    embeds: (B, K, D).
+    embeds: (B, K, D) — or (K, B, D) when embeds_kmajor (the int8 serving
+    kernels emit sample-major rows; the weighted sum contracts K either
+    way, so no 1.6 GB transpose of the wide hidden array is needed).
     """
     weights = compute_weights(z_samp, sigmas, rays)
 
     rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
-    embed = jnp.sum(weights[..., None] * embeds, axis=-2)
+    if embeds_kmajor:
+        embed = jnp.einsum("bk,kbd->bd", weights, embeds)
+    else:
+        embed = jnp.sum(weights[..., None] * embeds, axis=-2)
     depth = jnp.sum(weights * z_samp, axis=-1)
 
     if white_bkgd:

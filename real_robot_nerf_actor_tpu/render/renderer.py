@@ -114,16 +114,12 @@ class NeuralRenderer:
         r, k = z_samp.shape
         pts = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
         dirs = jnp.broadcast_to(rays[:, None, 3:6], pts.shape)
-        use_fused_int8 = (self.cfg.field.mlp_backend == "pallas_int8"
-                          and compact and self.field.share_mlp
-                          and not self.cfg.field.use_proposal)
-        if use_fused_int8:
-            rgbs, sigmas, hidden = self._eval_points_fused_int8(
-                params, voxel_feat, pts.reshape(1, r * k, 3),
-                dirs.reshape(1, r * k, 3), pre_expanded)
-            rgbs = rgbs.reshape(r, k, 3)
-            sigmas = sigmas.reshape(r, k)
-            embeds = hidden.reshape(r, k, -1)
+        if self._fused_int8_active(compact) and pre_expanded:
+            # embeds come back K-MAJOR (K, R, D): the kernels emit
+            # sample-major rows and the compositing contraction handles
+            # either layout — transposing the wide hidden would cost ~4 ms
+            rgbs, sigmas, embeds = self._eval_points_fused_int8(
+                params, voxel_feat, rays, z_samp)
         else:
             out = self.field.apply(
                 params, voxel_feat, pts.reshape(1, r * k, 3),
@@ -136,42 +132,68 @@ class NeuralRenderer:
             sigmas = sigmas + jax.random.normal(key, sigmas.shape) * self.cfg.noise_std
         return rgbs, sigmas, embeds
 
-    def _eval_points_fused_int8(self, params, voxel_feat, pts, dirs,
-                                pre_expanded):
-        """Serving path: ONE fused XLA materialization assembles the packed
-        MLP input row (latent lerp + wrapped pos-enc phases), then the
-        WHOLE ResnetFC runs as one fused int8 Pallas kernel
-        (ops/resnetfc_pallas.py). Mirrors VoxelNerfField.__call__'s
-        compact path (same params, W8A8 numerics)."""
-        from real_robot_nerf_actor_tpu.ops.grid_sample import (
-            sample_in_canonical_voxel)
+    def _fused_int8_active(self, compact: bool) -> bool:
+        return (self.cfg.field.mlp_backend == "pallas_int8"
+                and compact and self.field.share_mlp
+                and not self.cfg.field.use_proposal)
+
+    def _eval_points_fused_int8(self, params, voxel_feat, rays, z_samp):
+        """Serving path (pre-expanded grid): the ray-expansion kernel
+        (ops/ray_expand_pallas.py) emits every per-sample field in its
+        natural lane-major (K, R) layout — canon/dirs/wrapped-phase aux
+        rows, lerp weights, gather indices — so NO (N, small) tile-padded
+        arrays exist; the corner lerp and the whole ResnetFC run as fused
+        Pallas kernels (W8A8 int8 MXU). Sample order is K-MAJOR
+        (n = k*R + r): rgbs/sigmas transpose back (small), the wide
+        hidden stays (K, R, D) for the compositing einsum. Mirrors
+        VoxelNerfField.__call__'s compact path (same params, W8A8
+        numerics)."""
+        from real_robot_nerf_actor_tpu.ops.lerp_pallas import corner_lerp
+        from real_robot_nerf_actor_tpu.ops.ray_expand_pallas import (
+            ray_expand)
         from real_robot_nerf_actor_tpu.ops.resnetfc_pallas import (
-            fused_resnetfc_int8, pack_mlp_input, pack_resnetfc_params)
+            fused_resnetfc_int8, pack_resnetfc_params)
         c = self.cfg.field
         assert c.use_code and c.use_viewdirs, "fused int8 covers the " \
             "flagship input layout (positional code + viewdirs)"
-        bounds = jnp.asarray(c.coord_bounds, dtype=pts.dtype)
-        canon = (pts - bounds[:3]) / (bounds[3:] - bounds[:3])
-        # Pallas lerp next to the Pallas MLP: with BOTH kernel boundaries
-        # row-major, XLA stops pulling the lerp/assembly into N-minor
-        # layouts (the combination measured 191.6k rays/s vs 158.5k for
-        # either kernel alone or neither — see BENCH_NOTES round 2)
-        latent = sample_in_canonical_voxel(
-            voxel_feat, canon, expanded=pre_expanded,
-            out_channels=c.d_latent,
-            backend="pallas" if pre_expanded else None)
-        n = pts.shape[1]
-        zi = pack_mlp_input(latent.reshape(n, -1), canon.reshape(n, 3),
-                            dirs.reshape(n, 3), c.num_freqs, c.freq_factor)
+        r, k = z_samp.shape
+        bn = 256
+        pad_r = (-r) % bn
+        if pad_r:
+            rays_p = jnp.concatenate(
+                [rays, jnp.broadcast_to(rays[:1], (pad_r, rays.shape[1]))])
+            z_p = jnp.concatenate(
+                [z_samp, jnp.broadcast_to(z_samp[:1], (pad_r, k))])
+        else:
+            rays_p, z_p = rays, z_samp
+        rp = r + pad_r
+        _, dp, hp, wp, c8 = voxel_feat.shape
+        dims = (dp - 1, hp - 1, wp - 1)
+        auxT, w8T, flatT = ray_expand(rays_p, z_p, dims, c.coord_bounds,
+                                      c.num_freqs, c.freq_factor, bn=bn)
+        n = k * rp
+        rows = jnp.take_along_axis(
+            voxel_feat.reshape(1, dp * hp * wp, c8),
+            flatT.reshape(-1)[None, :, None], axis=1,
+            mode="promise_in_bounds")[0]
+        latent = corner_lerp(rows, w8T.reshape(8, n))      # (N, d_latent)
+        aux_rows = auxT.reshape(auxT.shape[0], n).T        # (N, 24)
+        width = c.d_latent + aux_rows.shape[1]
+        zi = jnp.concatenate(
+            [latent.astype(jnp.bfloat16), aux_rows,
+             jnp.zeros((n, 128 - width), jnp.bfloat16)], axis=-1)
         packed = pack_resnetfc_params(
             params["params"]["mlp_coarse"], d_latent=c.d_latent,
             num_freqs=c.num_freqs, d_hidden=c.d_hidden,
             n_blocks=c.n_blocks, combine_layer=c.combine_layer)
         out, hidden = fused_resnetfc_int8(zi, packed, c.n_blocks,
                                           c.combine_layer)
-        rgb = jax.nn.sigmoid(out[:, :3].astype(jnp.float32))
-        sigma = jax.nn.relu(out[:, 3].astype(jnp.float32))
-        return rgb[None], sigma[None], hidden[None]
+        out = out.reshape(k, rp, 128)[:, :r]
+        rgb = jax.nn.sigmoid(
+            out[..., :3].astype(jnp.float32)).transpose(1, 0, 2)  # (R,K,3)
+        sigma = jax.nn.relu(out[..., 3].astype(jnp.float32)).T    # (R,K)
+        hidden = hidden.reshape(k, rp, -1)[:, :r]                 # (K,R,D)
+        return rgb, sigma, hidden
 
     def _late_embed_active(self) -> bool:
         c = self.cfg
@@ -201,7 +223,9 @@ class NeuralRenderer:
             params, voxel_feat, rays, z_samp, coarse, key, pre_expanded,
             compact)
         out = composite(z_samp, rays, rgbs, sigmas, embeds,
-                        white_bkgd=self.cfg.white_bkgd)
+                        white_bkgd=self.cfg.white_bkgd,
+                        embeds_kmajor=(self._fused_int8_active(compact)
+                                       and pre_expanded))
         if compact:
             out = out._replace(embed=self._project_embed(
                 params, out.embed, out.weights.sum(-1)))
@@ -226,8 +250,9 @@ class NeuralRenderer:
         compact_c = late and not self.cfg.field.use_proposal
         vals_c = self._eval_points(params, voxel_feat, rays, z_coarse, True,
                                    k_n1, pre_expanded, compact=compact_c)
+        kmajor = self._fused_int8_active(compact_c) and pre_expanded
         coarse = composite(z_coarse, rays, *vals_c,
-                           white_bkgd=c.white_bkgd)
+                           white_bkgd=c.white_bkgd, embeds_kmajor=kmajor)
         if compact_c:
             coarse = coarse._replace(embed=self._project_embed(
                 params, coarse.embed, coarse.weights.sum(-1)))
@@ -273,8 +298,12 @@ class NeuralRenderer:
                 w_c, w_n = w_all[:, :kc], w_all[:, kc:]
                 rgb = (jnp.sum(w_c[..., None] * vals_c[0], -2)
                        + jnp.sum(w_n[..., None] * vals_n[0], -2))
-                embed = (jnp.sum(w_c[..., None] * vals_c[2], -2)
-                         + jnp.sum(w_n[..., None] * vals_n[2], -2))
+                if kmajor:  # int8 kernels emit K-major (K, R, D) embeds
+                    embed = (jnp.einsum("bk,kbd->bd", w_c, vals_c[2])
+                             + jnp.einsum("bk,kbd->bd", w_n, vals_n[2]))
+                else:
+                    embed = (jnp.sum(w_c[..., None] * vals_c[2], -2)
+                             + jnp.sum(w_n[..., None] * vals_n[2], -2))
                 if compact_c:  # vals_*[2] carry hidden: project per ray
                     embed = self._project_embed(params, embed,
                                                 w_all.sum(-1))
