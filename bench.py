@@ -254,8 +254,15 @@ def bench_voxelize(jax, rt: float, n_inner: int = 20):
 def main():
     jax = _setup()
     rt = measure_rt_overhead(jax)
-    # headline: the reference's exact sampling/arch config
-    rays_per_sec = bench_nerf_render(jax, rt)
+    # headline: the reference's exact sampling/arch config, served through
+    # the fused bf16 Pallas pipeline (same math as the XLA path to bf16
+    # rounding — tolerance-tested; see BENCH_NOTES round 2)
+    rays_per_sec = bench_nerf_render(jax, rt, mlp_backend="pallas_bf16")
+    # the pure-XLA lowering of the same config, for the record
+    try:
+        xla_rays = bench_nerf_render(jax, rt)
+    except Exception:
+        xla_rays = 0.0
     # perf mode: proposal sampler (opt-in feature, NOT the parity config)
     try:
         proposal_rays = bench_nerf_render(jax, rt, proposal=True)
@@ -292,6 +299,7 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+        "xla_rays_per_sec": round(xla_rays, 1),
         "proposal_mode_rays_per_sec": round(proposal_rays, 1),
         "proposal_nolat_rays_per_sec": round(proposal_nolat_rays, 1),
         "batched2_rays_per_sec": round(batched_rays, 1),

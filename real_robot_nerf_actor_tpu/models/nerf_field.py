@@ -60,11 +60,11 @@ class NerfFieldConfig:
     # roofline). Same param tree — any checkpoint serves quantized.
     # Changes numerics (measured, see BENCH_NOTES); do not train with it.
     quantized: bool = False
-    # "pallas_int8": the renderer's serving path runs the WHOLE ResnetFC
-    # as one fused Pallas kernel (weights resident in VMEM, W8A8 block
-    # matmuls — ops/resnetfc_pallas.py). Forward/serving only; training
-    # and non-compact paths use XLA regardless.
-    mlp_backend: str = "xla"  # "xla" | "pallas_int8"
+    # "pallas_int8" / "pallas_bf16": the renderer's serving path runs the
+    # WHOLE ResnetFC as one fused Pallas kernel (weights resident in VMEM
+    # — ops/resnetfc_pallas.py) with W8A8 int8 or bf16 block matmuls.
+    # Forward/serving only; training and non-compact paths use XLA.
+    mlp_backend: str = "xla"  # "xla" | "pallas_int8" | "pallas_bf16"
 
     @property
     def d_in(self) -> int:

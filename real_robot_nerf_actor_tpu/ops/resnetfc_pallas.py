@@ -77,7 +77,7 @@ def pack_mlp_input(latent: jnp.ndarray, canon: jnp.ndarray,
 def pack_resnetfc_params(mlp_params: dict, d_latent: int = 64,
                          num_freqs: int = 6, d_hidden: int = 512,
                          n_blocks: int = 5, combine_layer: int = 3,
-                         head_dims: int = 4):
+                         head_dims: int = 4, quantize: bool = True):
     """Extract + quantize a ResnetFC param subtree for the fused kernel.
 
     mlp_params: params["params"]["mlp_coarse"] — flax tree with Dense_0
@@ -118,11 +118,15 @@ def pack_resnetfc_params(mlp_params: dict, d_latent: int = 64,
         blk = mlp_params[f"ResnetBlockFC_{i}"]
         for d in ("Dense_0", "Dense_1"):
             k = blk[d]["kernel"].astype(jnp.float32)     # (512, 512)
-            amax = jnp.max(jnp.abs(k), axis=0, keepdims=True)
-            scale = amax / 127.0 + 1e-12
-            wq.append(jnp.clip(jnp.round(k / scale), -127, 127)
-                      .astype(jnp.int8))
-            ws.append(scale[0])
+            if quantize:
+                amax = jnp.max(jnp.abs(k), axis=0, keepdims=True)
+                scale = amax / 127.0 + 1e-12
+                wq.append(jnp.clip(jnp.round(k / scale), -127, 127)
+                          .astype(jnp.int8))
+                ws.append(scale[0])
+            else:
+                wq.append(k.astype(jnp.bfloat16))
+                ws.append(jnp.ones((k.shape[1],), jnp.float32))
             bq.append(blk[d]["bias"].astype(jnp.float32))
     k_out = mlp_params["lin_out_kernel"][:, :head_dims]
     w_out = jnp.zeros((d_hidden, 128), jnp.bfloat16).at[:, :head_dims].set(
@@ -139,10 +143,15 @@ def pack_resnetfc_params(mlp_params: dict, d_latent: int = 64,
 
 def _kernel(zi_ref, w_a_ref, w_s_ref, w_c_ref, b_in_ref, wz_ref, bz_ref,
             wq_ref, ws_ref, bq_ref, w_out_ref, b_out_ref, hidden_ref,
-            out_ref, *, n_blocks: int, combine_layer: int):
+            out_ref, *, n_blocks: int, combine_layer: int,
+            quantized: bool):
     zi = zi_ref[...]                                       # (BN, 128) bf16
 
     def int8_dense(t, idx):
+        if not quantized:  # bf16 block weights, f32 accumulation
+            return (jax.lax.dot(t, wq_ref[idx],
+                                preferred_element_type=jnp.float32)
+                    + bq_ref[idx][None])
         t32 = t.astype(jnp.float32)
         amax = jnp.max(jnp.abs(t32), axis=1, keepdims=True)
         xs = amax / 127.0 + 1e-8
@@ -179,7 +188,8 @@ def _kernel(zi_ref, w_a_ref, w_s_ref, w_c_ref, b_in_ref, wz_ref, bz_ref,
 
 
 def fused_resnetfc_int8(zi: jnp.ndarray, packed: dict, n_blocks: int = 5,
-                        combine_layer: int = 3, bn: int = 512):
+                        combine_layer: int = 3, bn: int = 512,
+                        quantized: bool = True):
     """zi: (N, 128) bf16 from pack_mlp_input. Returns (out (N, 128) bf16 —
     head dims in the leading columns, hidden (N, 512) bf16 — relu'd last
     hidden for late embed projection)."""
@@ -200,7 +210,7 @@ def fused_resnetfc_int8(zi: jnp.ndarray, packed: dict, n_blocks: int = 5,
                                   "wq", "ws", "bq", "w_out", "b_out")]
     hidden, out = pl.pallas_call(
         functools.partial(_kernel, n_blocks=n_blocks,
-                          combine_layer=combine_layer),
+                          combine_layer=combine_layer, quantized=quantized),
         grid=(npad // bn,),
         in_specs=[pl.BlockSpec((bn, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]

@@ -133,7 +133,7 @@ class NeuralRenderer:
         return rgbs, sigmas, embeds
 
     def _fused_int8_active(self, compact: bool) -> bool:
-        return (self.cfg.field.mlp_backend == "pallas_int8"
+        return (self.cfg.field.mlp_backend in ("pallas_int8", "pallas_bf16")
                 and compact and self.field.share_mlp
                 and not self.cfg.field.use_proposal)
 
@@ -182,12 +182,15 @@ class NeuralRenderer:
         zi = jnp.concatenate(
             [latent.astype(jnp.bfloat16), aux_rows,
              jnp.zeros((n, 128 - width), jnp.bfloat16)], axis=-1)
+        quantized = c.mlp_backend == "pallas_int8"
         packed = pack_resnetfc_params(
             params["params"]["mlp_coarse"], d_latent=c.d_latent,
             num_freqs=c.num_freqs, d_hidden=c.d_hidden,
-            n_blocks=c.n_blocks, combine_layer=c.combine_layer)
+            n_blocks=c.n_blocks, combine_layer=c.combine_layer,
+            quantize=quantized)
         out, hidden = fused_resnetfc_int8(zi, packed, c.n_blocks,
-                                          c.combine_layer)
+                                          c.combine_layer,
+                                          quantized=quantized)
         out = out.reshape(k, rp, 128)[:, :r]
         rgb = jax.nn.sigmoid(
             out[..., :3].astype(jnp.float32)).transpose(1, 0, 2)  # (R,K,3)

@@ -142,3 +142,36 @@ def test_fused_int8_mlp_backend_close_to_xla():
     b = np.asarray(out_b["fine"].rgb, np.float32)
     assert np.isfinite(b).all()
     assert np.abs(a - b).max() < 0.1, np.abs(a - b).max()
+
+
+def test_fused_bf16_mlp_backend_close_to_xla():
+    """mlp_backend='pallas_bf16' (interpret off-TPU): same params, same
+    render to bf16/f32-accumulation tolerance (no quantization)."""
+    import dataclasses
+    from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
+    from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
+    from real_robot_nerf_actor_tpu.ops import gen_rays
+
+    field = NerfFieldConfig(d_latent=8, d_embed=16, d_hidden=32, n_blocks=3,
+                            combine_layer=2)
+    cfg = RendererConfig(image_width=8, image_height=8, n_coarse=6, n_fine=4,
+                         n_fine_depth=2, field=field)
+    r = NeuralRenderer(cfg)
+    params = r.init_params(jax.random.key(0))
+    params["params"]["mlp_coarse"]["lin_out_bias"] = (
+        params["params"]["mlp_coarse"]["lin_out_bias"].at[3].set(1.0))
+    vox = jax.random.normal(jax.random.key(1), (1, 6, 6, 6, 8))
+    pose = np.eye(4, dtype=np.float32); pose[2, 3] = 2.5
+    rays = gen_rays(jnp.asarray(pose)[None], 8, 8, jnp.asarray(7.0),
+                    cfg.z_near, cfg.z_far).reshape(-1, 8)
+
+    out_a = r.render_rays(params, vox, rays, jax.random.key(2))
+    cfg_q = dataclasses.replace(
+        cfg, field=dataclasses.replace(field, mlp_backend="pallas_bf16"))
+    rq = NeuralRenderer(cfg_q)
+    out_b = rq.render_rays(params, vox, rays, jax.random.key(2))
+    a = np.asarray(out_a["fine"].rgb, np.float32)
+    b = np.asarray(out_b["fine"].rgb, np.float32)
+    assert np.isfinite(b).all()
+    # bf16 packed rows vs fp32 XLA path: rounding-level agreement
+    assert np.abs(a - b).max() < 0.03, np.abs(a - b).max()
