@@ -137,15 +137,22 @@ class NerfActTrainer(PerActTrainer):
         d_embed = rc.field.d_embed
         rng = np.random.default_rng(seed + 1)
         gt_embed = rng.standard_normal((h, w, d_embed)).astype(np.float32) * 0.01
+        # device-resident ONCE: these are constant across steps, and
+        # re-converting per step re-uploads ~34 MB (gt_embed alone) over
+        # the host->device link every iteration
+        gt_rgb_dev = jnp.asarray(
+            np.broadcast_to(gt_rgb, (batch_size, h, w, 3)).copy())
+        gt_pose_dev = jnp.asarray(
+            np.broadcast_to(pose, (batch_size, 4, 4)).copy())
+        focal_dev = jnp.full((batch_size,), focal, jnp.float32)
+        gt_embed_dev = jnp.asarray(
+            np.broadcast_to(gt_embed, (batch_size, h, w, d_embed)).copy())
         for batch in base:
             batch = dict(batch)
-            batch["gt_rgb"] = jnp.asarray(
-                np.broadcast_to(gt_rgb, (batch_size, h, w, 3)).copy())
-            batch["gt_pose"] = jnp.asarray(
-                np.broadcast_to(pose, (batch_size, 4, 4)).copy())
-            batch["focal"] = jnp.full((batch_size,), focal, jnp.float32)
-            batch["gt_embed"] = jnp.asarray(
-                np.broadcast_to(gt_embed, (batch_size, h, w, d_embed)).copy())
+            batch["gt_rgb"] = gt_rgb_dev
+            batch["gt_pose"] = gt_pose_dev
+            batch["focal"] = focal_dev
+            batch["gt_embed"] = gt_embed_dev
             yield batch
 
     # ---------------------------------------------------------------- eval

@@ -189,45 +189,51 @@ class PerActTrainer:
             pts, cols, valid = pad_point_cloud(
                 PointCloudSample(scene.points, scene.colors),
                 c.voxelizer.max_num_coords)
+            # device-resident once: the per-step clouds are drawn from this
+            # small set, and re-uploading 220k points (~5 MB) every step
+            # dominates the host loop on a remote-device link
+            pts, cols, valid = (jnp.asarray(pts), jnp.asarray(cols),
+                                jnp.asarray(valid))
             for task in range(n_tasks):
                 demo = make_synthetic_demo(scene, seed=seed + 7 * task)
                 le = (lang_embs if lang_embs is not None else
                       np.random.default_rng(1000 + task).standard_normal(
                           (c.model.lang_max_seq_len, c.model.lang_emb_dim)
                       ).astype(np.float32))
-                combos.append((pts, cols, valid, demo, le))
+                # discretize ALL keyframes once up front: per-step jax
+                # calls on tiny arrays each cost a full device dispatch
+                # (~30 ms over this sandbox's tunnel)
+                nk = demo.num_keyframes
+                disc = discretize_action(
+                    jnp.asarray(demo.xyz), jnp.asarray(demo.rotation),
+                    jnp.asarray(demo.gripper_open), jnp.ones((nk,)),
+                    self.bounds, c.model.voxel_size, c.rotation_resolution)
+                rg_all = np.asarray(disc.rot_grip)
+                coll_all = np.asarray(disc.collision)
+                combos.append((pts, cols, valid, demo, le, rg_all,
+                               coll_all))
         while True:
             out = {k: [] for k in ("points", "colors", "valid", "proprio",
                                    "lang", "kf_xyz", "rot_grip", "collision")}
             for _ in range(batch_size):
-                pts, cols, valid, demo, lang_embs_i = combos[
-                    int(rng.integers(0, len(combos)))]
+                pts, cols, valid, demo, lang_embs_i, rg_all, coll_all = \
+                    combos[int(rng.integers(0, len(combos)))]
                 n_key = demo.num_keyframes - 1
                 i = int(rng.integers(0, n_key))
-                nxt = discretize_action(
-                    jnp.asarray(demo.xyz[i + 1])[None],
-                    jnp.asarray(demo.rotation[i + 1])[None],
-                    jnp.asarray(demo.gripper_open[i + 1:i + 2]),
-                    jnp.ones((1,)), self.bounds, c.model.voxel_size,
-                    c.rotation_resolution)
-                cur = discretize_action(
-                    jnp.asarray(demo.xyz[i])[None],
-                    jnp.asarray(demo.rotation[i])[None],
-                    jnp.asarray(demo.gripper_open[i:i + 1]),
-                    jnp.ones((1,)), self.bounds, c.model.voxel_size,
-                    c.rotation_resolution)
                 proprio = np.concatenate([
                     np.zeros(3, np.float32),          # filled by aug in-step
-                    np.asarray(cur.rot_grip[0], np.float32)])
+                    np.asarray(rg_all[i], np.float32)])
                 out["points"].append(pts)
                 out["colors"].append(cols)
                 out["valid"].append(valid)
                 out["proprio"].append(proprio)
                 out["lang"].append(lang_embs_i)
                 out["kf_xyz"].append(np.stack([demo.xyz[i], demo.xyz[i + 1]]))
-                out["rot_grip"].append(np.asarray(nxt.rot_grip[0]))
-                out["collision"].append(np.asarray(nxt.collision[0]))
-            yield {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+                out["rot_grip"].append(rg_all[i + 1])
+                out["collision"].append(coll_all[i + 1])
+            # jnp.stack keeps already-device-resident leaves (points/colors/
+            # valid) on device; small host fields upload as usual
+            yield {k: jnp.stack(v) for k, v in out.items()}
 
     def make_trainer(self, data: Optional[Iterator] = None) -> Trainer:
         return Trainer(self.cfg.train, self.train_step,

@@ -42,7 +42,41 @@ class TrainConfig:
     ckpt_dir: Optional[str] = None
     log_dir: Optional[str] = None
     max_ckpts_to_keep: int = 2   # latest + backup
+    # background-thread batches-in-flight: host-side generation + the
+    # host->device upload overlap the previous step's device compute
+    # (jax dispatch is async; the reference's DataLoader(num_workers=8)
+    # plays the same role). 0 disables.
+    prefetch: int = 2
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+
+
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` in a daemon thread, keeping `depth` items ready."""
+    if depth <= 0:
+        return it
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+
+    def gen():
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+
+    return gen()
 
 
 class TrainState(struct.PyTreeNode):
@@ -115,7 +149,7 @@ class Trainer:
                  eval_fn: Optional[Callable] = None,
                  donate_state: bool = True):
         self.cfg = cfg
-        self.data = data
+        self.data = prefetch_iterator(data, cfg.prefetch)
         self.eval_fn = eval_fn
         self._init_state = init_state
         self._step_fn = jax.jit(
