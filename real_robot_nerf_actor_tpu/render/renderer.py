@@ -133,9 +133,11 @@ class NeuralRenderer:
         return rgbs, sigmas, embeds
 
     def _fused_int8_active(self, compact: bool) -> bool:
+        # compact is False for the proposal-sampler coarse pass (it uses
+        # the small proposal MLP), so in proposal mode only the FULL-field
+        # fine pass routes through the fused kernels — which is correct
         return (self.cfg.field.mlp_backend in ("pallas_int8", "pallas_bf16")
-                and compact and self.field.share_mlp
-                and not self.cfg.field.use_proposal)
+                and compact and self.field.share_mlp)
 
     def _eval_points_fused_int8(self, params, voxel_feat, rays, z_samp):
         """Serving path (pre-expanded grid): the ray-expansion kernel

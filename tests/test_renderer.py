@@ -175,3 +175,34 @@ def test_fused_bf16_mlp_backend_close_to_xla():
     assert np.isfinite(b).all()
     # bf16 packed rows vs fp32 XLA path: rounding-level agreement
     assert np.abs(a - b).max() < 0.03, np.abs(a - b).max()
+
+
+def test_fused_backend_composes_with_proposal_mode():
+    """Proposal sampler coarse (XLA small MLP) + fused-backend fine pass:
+    finite render, close to the XLA proposal render."""
+    import dataclasses
+    from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
+    from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
+    from real_robot_nerf_actor_tpu.ops import gen_rays
+
+    field = NerfFieldConfig(d_latent=8, d_embed=16, d_hidden=32, n_blocks=3,
+                            combine_layer=2, use_proposal=True,
+                            proposal_hidden=16, proposal_blocks=1)
+    cfg = RendererConfig(image_width=8, image_height=8, n_coarse=6, n_fine=4,
+                         n_fine_depth=0, field=field)
+    r = NeuralRenderer(cfg)
+    params = r.init_params(jax.random.key(0))
+    for m in ("mlp_coarse", "mlp_proposal"):
+        params["params"][m]["lin_out_bias"] = (
+            params["params"][m]["lin_out_bias"].at[3].set(1.0))
+    vox = jax.random.normal(jax.random.key(1), (1, 6, 6, 6, 8))
+    pose = np.eye(4, dtype=np.float32); pose[2, 3] = 2.5
+    rays = gen_rays(jnp.asarray(pose)[None], 8, 8, jnp.asarray(7.0),
+                    cfg.z_near, cfg.z_far).reshape(-1, 8)
+    a = r.render_rays(params, vox, rays, jax.random.key(2))["fine"].rgb
+    rq = NeuralRenderer(dataclasses.replace(
+        cfg, field=dataclasses.replace(field, mlp_backend="pallas_bf16")))
+    b = rq.render_rays(params, vox, rays, jax.random.key(2))["fine"].rgb
+    a = np.asarray(a, np.float32); b = np.asarray(b, np.float32)
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() < 0.03, np.abs(a - b).max()
