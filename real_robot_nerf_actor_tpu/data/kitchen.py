@@ -1,0 +1,122 @@
+"""Kitchen-demo dataset writer: records demos in the REFERENCE's on-disk
+layout so the replay/training path exercises the exact real-data format.
+
+Layout written (matching what /root/reference/train_nerfact_multi_kitchen.py
+:1256-1284 consumes):
+
+    out/
+      calibration.json            # cam2base (OpenCV), gt_pose (OpenGL),
+                                  # focal, image_hw, embed_dim
+      {d}_xarm_position.txt       # keyframe poses, mm + True/False gripper
+      real{d}/pcd{k}.ply          # per-keyframe cloud, CAMERA frame + rgb
+      real{d}/rgb{k}.png          # GT view (the reference's rgb{i}.png)
+      real{d}/embed{k}.npy        # optional teacher features (H, W, D) f16
+      real{d}/depth{k}.npy        # optional GT depth (H, W) f16
+
+The reference captures these with a RealSense + xArm
+(read_real_data_kitchen.py); here the 'sensor' is the analytic synthetic
+kitchen raytraced exactly (data/synthetic.raytrace_views), so a committed
+dataset with real visual structure exists without hardware. Point clouds
+are stored in the OpenCV camera frame and transformed by cam2base at load
+(data/replay.load_rgb_pcd), exactly like the reference's get_rgb_pcd.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from real_robot_nerf_actor_tpu.data.ply import write_ply
+from real_robot_nerf_actor_tpu.data.synthetic import (
+    GRIPPER_COLOR, GRIPPER_HALF, _look_at, add_gripper_blob,
+    make_synthetic_demo, make_synthetic_scene, raytrace_views, teacher_embed)
+
+GL2CV = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float64)
+
+
+def write_kitchen_demos(out: str, n_demos: int = 5, n_keyframes: int = 5,
+                        image_hw: Tuple[int, int] = (60, 80),
+                        focal: float = 76.18, seed: int = 0,
+                        d_embed: int = 512, write_embeds: bool = True,
+                        write_depth: bool = True, n_points: int = 60000,
+                        camera_eye: Optional[Tuple[float, float, float]] = None
+                        ) -> dict:
+    """Write a kitchen of `n_demos` demos in the reference data layout.
+
+    image_hw/focal default to the reference's 80x60 @ 76.18
+    (train_nerfact_multi_kitchen.py:1100, nerfact.conf). Returns the
+    calibration dict.
+    """
+    h, w = image_hw
+    os.makedirs(out, exist_ok=True)
+    # brighter table than the unit-test default so renders are visibly
+    # structured (the test scene's near-black table hides learning)
+    scene = make_synthetic_scene(seed=seed, n_points=n_points,
+                                 table_color=(0.45, 0.32, 0.18))
+    center = np.array([0.35, 0.2, 0.1], np.float64)
+    # default eye: 1.45 m from the scene center — every surface lands in
+    # the renderer's [z_near=1.2, z_far=4.0] band (measured 1.32-2.12) and
+    # the scene fills ~30% of the 80x60 frame
+    eye = (np.asarray(camera_eye, np.float64) if camera_eye is not None
+           else center + np.array([0.9, -0.75, 0.85]))
+    pose_gl = _look_at(eye.astype(np.float32), center.astype(np.float32))
+    cam2base_cv = pose_gl.astype(np.float64) @ GL2CV
+
+    calib = {
+        "cam2base": cam2base_cv.tolist(),
+        "gt_pose": pose_gl.astype(np.float64).tolist(),
+        "focal": float(focal),
+        "image_hw": [int(h), int(w)],
+        "embed_dim": int(d_embed) if write_embeds else 0,
+    }
+    with open(os.path.join(out, "calibration.json"), "w") as f:
+        json.dump(calib, f, indent=1)
+
+    from PIL import Image
+    r_inv = np.linalg.inv(cam2base_cv)
+    for d in range(n_demos):
+        demo = make_synthetic_demo(scene, seed=seed + 7 * d + 1,
+                                   n_keyframes=n_keyframes)
+        _write_xarm_position_file(
+            os.path.join(out, f"{d}_xarm_position.txt"), demo)
+        ddir = os.path.join(out, f"real{d}")
+        os.makedirs(ddir, exist_ok=True)
+        for k in range(demo.num_keyframes):
+            pts, cols = add_gripper_blob(scene, demo.xyz[k],
+                                         seed=seed + 100 * d + k)
+            # store the cloud in the OpenCV camera frame (what a RealSense
+            # export holds); load_rgb_pcd transforms it back via cam2base
+            p_cam = pts @ r_inv[:3, :3].T.astype(np.float32) \
+                + r_inv[:3, 3].astype(np.float32)
+            write_ply(os.path.join(ddir, f"pcd{k}.ply"), p_cam,
+                      (cols + 1.0) / 2.0)
+            gripper = (demo.xyz[k][None], GRIPPER_HALF[None],
+                       GRIPPER_COLOR[None])
+            rgb, depth, xyz, mask = raytrace_views(
+                scene, pose_gl[None], h, w, focal, extra_boxes=gripper)
+            img = Image.fromarray(
+                np.clip(rgb[0] * 255.0 + 0.5, 0, 255).astype(np.uint8))
+            img.save(os.path.join(ddir, f"rgb{k}.png"))
+            if write_depth:
+                np.save(os.path.join(ddir, f"depth{k}.npy"),
+                        depth[0].astype(np.float16))
+            if write_embeds:
+                emb = teacher_embed(xyz[0], rgb[0], mask[0], d_embed)
+                np.save(os.path.join(ddir, f"embed{k}.npy"),
+                        emb.astype(np.float16))
+    return calib
+
+
+def _write_xarm_position_file(path: str, demo) -> None:
+    """Inverse of data/keyframes.parse_xarm_position_file: bracketed CSV,
+    positions in mm, True/False gripper flag (the reference's dump format,
+    train_peract_single_kitchen_single_task.py:734-758)."""
+    with open(path, "w") as f:
+        for k in range(demo.num_keyframes):
+            x, y, z = (demo.xyz[k] * 1000.0).tolist()
+            r, p, yw = demo.rotation[k].tolist()
+            g = "True" if demo.gripper_open[k] > 0.5 else "False"
+            f.write(f"[{x:.3f}, {y:.3f}, {z:.3f}, {r:.3f}, {p:.3f}, "
+                    f"{yw:.3f}, {g}]\n")

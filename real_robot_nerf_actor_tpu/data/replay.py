@@ -105,15 +105,32 @@ class ReplayRobotIO:
 
 class ReplaySource:
     """Keyframe-demo dataset over a directory tree shaped like the
-    reference's data layout:
+    reference's data layout (train_nerfact_multi_kitchen.py:1256-1284):
 
         root/
+          calibration.json               # cam2base/gt_pose/focal (optional)
           {demo}_xarm_position.txt       # keyframe poses
           real{demo}/pcd{k}.ply          # per-keyframe point clouds
+          real{demo}/rgb{k}.png          # GT view (nerfact; optional)
+          real{demo}/embed{k}.npy        # teacher features (optional)
+          real{demo}/depth{k}.npy        # GT depth (optional)
+
+    cam2base: explicit override; when None it comes from calibration.json
+    (identity if neither exists).
     """
 
-    def __init__(self, root: str, n_demos: int, cam2base: np.ndarray):
+    def __init__(self, root: str, n_demos: int,
+                 cam2base: Optional[np.ndarray] = None):
+        import json
         self.root = root
+        self.calibration: dict = {}
+        calib_path = os.path.join(root, "calibration.json")
+        if os.path.exists(calib_path):
+            with open(calib_path) as f:
+                self.calibration = json.load(f)
+        if cam2base is None:
+            cam2base = np.asarray(
+                self.calibration.get("cam2base", np.eye(4)), np.float64)
         self.cam2base = cam2base
         self.demos: List[KeyframeDemo] = [
             parse_xarm_position_file(
@@ -130,3 +147,40 @@ class ReplaySource:
     def pointcloud(self, demo: int, k: int) -> PointCloudSample:
         path = os.path.join(self.root, f"real{demo}", f"pcd{k}.ply")
         return load_rgb_pcd(path, self.cam2base)
+
+    # ------------------------------------------------------- GT views
+    @property
+    def has_views(self) -> bool:
+        """True when the dataset carries GT RGB views (the nerfact joint
+        trainer's requirement; PerAct-only recordings may omit them)."""
+        return os.path.exists(
+            os.path.join(self.root, "real0", "rgb0.png"))
+
+    @property
+    def gt_pose(self) -> np.ndarray:
+        """(4, 4) OpenGL camera-to-world pose for ray generation. Falls
+        back to cam2base (the reference uses its calibration matrix as the
+        render pose, train_nerfact_multi_kitchen.py:1390-1397)."""
+        return np.asarray(
+            self.calibration.get("gt_pose", self.cam2base), np.float32)
+
+    @property
+    def focal(self) -> float:
+        return float(self.calibration.get("focal", 76.18))
+
+    def view(self, demo: int, k: int) -> dict:
+        """GT view for keyframe k: {'rgb' (H,W,3) in [0,1], 'pose' (4,4),
+        'focal', and optionally 'embed' (H,W,D), 'depth' (H,W)}."""
+        from PIL import Image
+        ddir = os.path.join(self.root, f"real{demo}")
+        rgb = np.asarray(
+            Image.open(os.path.join(ddir, f"rgb{k}.png")).convert("RGB"),
+            np.float32) / 255.0
+        out = {"rgb": rgb, "pose": self.gt_pose, "focal": self.focal}
+        epath = os.path.join(ddir, f"embed{k}.npy")
+        if os.path.exists(epath):
+            out["embed"] = np.load(epath).astype(np.float32)
+        dpath = os.path.join(ddir, f"depth{k}.npy")
+        if os.path.exists(dpath):
+            out["depth"] = np.load(dpath).astype(np.float32)
+        return out

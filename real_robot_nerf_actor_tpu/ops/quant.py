@@ -19,6 +19,8 @@ TPU-native capability.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -39,11 +41,16 @@ def quantize_cols(w: jnp.ndarray, eps: float = 1e-8):
     return q.astype(jnp.int8), scale
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def int8_matmul(x: jnp.ndarray, w: jnp.ndarray,
                 out_dtype=jnp.float32) -> jnp.ndarray:
     """y = x @ w with dynamic W8A8 quantization, int32 accumulation.
 
     x (N, K) float; w (K, M) float. Returns (N, M) in out_dtype.
+
+    NOT differentiable by design: jnp.round has zero gradient, so silently
+    training through this path would learn nothing. Differentiating raises
+    (serving-only guard, cf. NerfFieldConfig.quantized docstring).
     """
     xq, xs = quantize_rows(x)
     wq, ws = quantize_cols(w)
@@ -51,3 +58,18 @@ def int8_matmul(x: jnp.ndarray, w: jnp.ndarray,
         xq, wq, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     return (acc.astype(jnp.float32) * (xs * ws)).astype(out_dtype)
+
+
+def _int8_matmul_fwd(x, w, out_dtype):
+    return int8_matmul(x, w, out_dtype), None
+
+
+def _int8_matmul_bwd(out_dtype, residual, g):
+    raise NotImplementedError(
+        "int8_matmul (QuantDense / NerfFieldConfig.quantized) is a "
+        "serving-only path: round() has zero gradient, so training through "
+        "it would silently learn nothing. Train with quantized=False and "
+        "serve the same checkpoint quantized.")
+
+
+int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)

@@ -99,10 +99,23 @@ class NeuralRenderer:
         if fg != "auto":
             return bool(fg)
         c = self.cfg
-        samples = n_rays * (c.n_coarse + c.n_fine)
+        # count grid-gather rows from the passes actually evaluated
+        # (ADVICE r2): coarse-only = Kc; proposal composites only Kf
+        # through the full field (+Kc through the proposal MLP iff it
+        # samples the latent); reuse_coarse evaluates Kc + the Kf new
+        # samples; the re-evaluate-all fallback pays Kc + (Kc + Kf)
+        if not c.using_fine:
+            per_ray = c.n_coarse
+        elif c.field.use_proposal:
+            per_ray = c.n_fine + (c.n_coarse if c.field.proposal_use_latent
+                                  else 0)
+        elif c.reuse_coarse and self.field.share_mlp:
+            per_ray = c.n_coarse + c.n_fine
+        else:
+            per_ray = 2 * c.n_coarse + c.n_fine
         cells = int(voxel_feat.shape[1] * voxel_feat.shape[2]
                     * voxel_feat.shape[3])
-        return samples >= cells
+        return n_rays * per_ray >= cells
 
     # ------------------------------------------------------------------ core
     def _eval_points(self, params, voxel_feat, rays, z_samp, coarse, key,

@@ -155,6 +155,34 @@ class NerfActTrainer(PerActTrainer):
             batch["gt_embed"] = gt_embed_dev
             yield batch
 
+    def replay_data(self, root: str, n_demos: int, batch_size: int = 1,
+                    seed: int = 0, lang_embs=None):
+        """Joint-training batches from recorded demos (the reference's
+        flagship data path, train_nerfact_multi_kitchen.py:1256-1284):
+        PerAct fields + per-keyframe GT RGB view/pose/focal
+        (+ teacher embed / depth maps when recorded). Validates the
+        recording against the renderer config before training."""
+        from real_robot_nerf_actor_tpu.data.replay import ReplaySource
+
+        rc = self.jcfg.renderer
+        src = ReplaySource(root, n_demos)
+        if not src.has_views:
+            raise ValueError(f"{root} carries no GT views; nerfact joint "
+                             "training needs real*/rgb*.png")
+        v0 = src.view(0, 0)
+        h, w = v0["rgb"].shape[:2]
+        if (h, w) != (rc.image_height, rc.image_width):
+            raise ValueError(
+                f"recorded views are {h}x{w} but renderer config is "
+                f"{rc.image_height}x{rc.image_width}: set "
+                f"renderer.image_height/width to match the recording")
+        if "embed" in v0 and v0["embed"].shape[-1] != rc.field.d_embed:
+            raise ValueError(
+                f"recorded teacher embeds have d={v0['embed'].shape[-1]} "
+                f"but field.d_embed={rc.field.d_embed}")
+        return super().replay_data(root, n_demos, batch_size, seed,
+                                   lang_embs, with_views=True)
+
     # ---------------------------------------------------------------- eval
     def render_eval(self, state: TrainState, step: int,
                     batch: Optional[Dict] = None,
@@ -179,7 +207,13 @@ class NerfActTrainer(PerActTrainer):
             {"params": state.params["nerf"]}, voxel_feat[:1],
             batch["gt_pose"][:1], batch["focal"][0], jax.random.key(step))
         gt = np.asarray(batch["gt_rgb"][0])
-        p = psnr_np(np.asarray(rgb), gt)
+        rgb_np = np.asarray(rgb)
+        p = psnr_np(rgb_np, gt)
+        # foreground PSNR: background pixels are trivially black on the
+        # synthetic/real-table recordings, so full-image PSNR flatters a
+        # degenerate all-black render — report the masked number too
+        fg = gt.sum(-1) > 0.02
+        p_fg = (psnr_np(rgb_np[fg], gt[fg]) if fg.any() else 0.0)
         if save_dir:
             import os
             from real_robot_nerf_actor_tpu.utils.visualize import (
@@ -187,14 +221,15 @@ class NerfActTrainer(PerActTrainer):
             os.makedirs(save_dir, exist_ok=True)
             save_render_panel(
                 os.path.join(save_dir, f"render_{step:06d}.png"), gt,
-                np.asarray(rgb), depth=np.asarray(depth),
+                rgb_np, depth=np.asarray(depth),
                 embed=np.asarray(embed), psnr=p)
-        return {"eval_psnr": p}
+        return {"eval_psnr": p, "eval_psnr_fg": p_fg}
 
     def make_trainer(self, data: Optional[Iterator] = None,
-                     eval_save_dir: Optional[str] = None) -> Trainer:
+                     eval_save_dir: Optional[str] = None,
+                     eval_batch: Optional[Dict] = None) -> Trainer:
         eval_fn = (lambda state, step: self.render_eval(
-            state, step, save_dir=eval_save_dir))
+            state, step, batch=eval_batch, save_dir=eval_save_dir))
         return Trainer(self.cfg.train, self.train_step,
                        data or self.synthetic_data(), self.init_state,
                        eval_fn=eval_fn)

@@ -235,6 +235,95 @@ class PerActTrainer:
             # valid) on device; small host fields upload as usual
             yield {k: jnp.stack(v) for k, v in out.items()}
 
+    def replay_data(self, root: str, n_demos: int, batch_size: int = 1,
+                    seed: int = 0, lang_embs: Optional[np.ndarray] = None,
+                    with_views: bool = False
+                    ) -> Iterator[Dict[str, jnp.ndarray]]:
+        """Batches from RECORDED demos in the reference's on-disk layout
+        (the --data-root path; reference sampling loop
+        train_nerfact_multi_kitchen.py:1256-1284: pick (demo, keyframe i),
+        observe pcd{i}, supervise with keyframe i+1's action).
+
+        with_views adds the per-keyframe GT view fields the nerfact joint
+        loss needs: gt_rgb/gt_pose/focal (+ gt_embed/gt_depth when the
+        recording carries them). Everything static is uploaded to the
+        device ONCE (clouds ~5 MB, embed maps ~10 MB per view — re-sending
+        them every step would dominate the host loop on a remote link).
+        """
+        from real_robot_nerf_actor_tpu.data.replay import ReplaySource
+
+        c = self.cfg
+        src = ReplaySource(root, n_demos)
+        if with_views and not src.has_views:
+            raise ValueError(
+                f"{root} has no GT views (real*/rgb*.png): record with "
+                "gen_data kitchen or train PerAct-only (no joint loss)")
+        rng = np.random.default_rng(seed)
+        lang = jnp.asarray(
+            lang_embs if lang_embs is not None else
+            np.zeros((c.model.lang_max_seq_len, c.model.lang_emb_dim),
+                     np.float32))
+
+        clouds = {}   # (d, k) -> (points, colors, valid) device arrays
+        views = {}    # (d, k) -> dict of device arrays
+        disc = []     # per demo: (rot_grip (K,4) np, collision (K,1) np)
+        for d in range(n_demos):
+            demo = src.demos[d]
+            nk = demo.num_keyframes
+            dd = discretize_action(
+                jnp.asarray(demo.xyz), jnp.asarray(demo.rotation),
+                jnp.asarray(demo.gripper_open), jnp.ones((nk,)),
+                self.bounds, c.model.voxel_size, c.rotation_resolution)
+            disc.append((np.asarray(dd.rot_grip), np.asarray(dd.collision)))
+            for k in range(nk):
+                pts, cols, valid = pad_point_cloud(
+                    src.pointcloud(d, k), c.voxelizer.max_num_coords)
+                clouds[(d, k)] = (jnp.asarray(pts), jnp.asarray(cols),
+                                  jnp.asarray(valid))
+                if with_views:
+                    v = src.view(d, k)
+                    dv = {"gt_rgb": jnp.asarray(v["rgb"])}
+                    if "embed" in v:
+                        dv["gt_embed"] = jnp.asarray(v["embed"])
+                    if "depth" in v:
+                        dv["gt_depth"] = jnp.asarray(v["depth"])
+                    views[(d, k)] = dv
+        gt_pose = jnp.asarray(src.gt_pose) if with_views else None
+        focal = (jnp.full((1,), src.focal, jnp.float32) if with_views
+                 else None)
+
+        while True:
+            out = {k: [] for k in ("points", "colors", "valid", "proprio",
+                                   "lang", "kf_xyz", "rot_grip", "collision")}
+            vout: Dict[str, list] = {}
+            for _ in range(batch_size):
+                d = int(rng.integers(0, n_demos))
+                k = int(rng.integers(0, src.num_keyframes(d) - 1))
+                pts, cols, valid = clouds[(d, k)]
+                rg_all, coll_all = disc[d]
+                out["points"].append(pts)
+                out["colors"].append(cols)
+                out["valid"].append(valid)
+                out["proprio"].append(np.concatenate(
+                    [np.zeros(3, np.float32),
+                     np.asarray(rg_all[k], np.float32)]))
+                out["lang"].append(lang)
+                out["kf_xyz"].append(np.stack(
+                    [src.demos[d].xyz[k], src.demos[d].xyz[k + 1]]))
+                out["rot_grip"].append(rg_all[k + 1])
+                out["collision"].append(coll_all[k + 1])
+                if with_views:
+                    for key, arr in views[(d, k)].items():
+                        vout.setdefault(key, []).append(arr)
+            batch = {k: jnp.stack(v) for k, v in out.items()}
+            for key, arrs in vout.items():
+                batch[key] = jnp.stack(arrs)
+            if with_views:
+                batch["gt_pose"] = jnp.broadcast_to(
+                    gt_pose, (batch_size, 4, 4))
+                batch["focal"] = jnp.broadcast_to(focal, (batch_size,))
+            yield batch
+
     def make_trainer(self, data: Optional[Iterator] = None) -> Trainer:
         return Trainer(self.cfg.train, self.train_step,
                        data or self.synthetic_data(), self.init_state)

@@ -59,11 +59,16 @@ def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
+    # data-pipeline exceptions must reach the training loop: a crashing
+    # iterator must not look like normal exhaustion (ADVICE r2)
+    err: list = []
 
     def worker():
         try:
             for item in it:
                 q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised in gen()
+            err.append(e)
         finally:
             q.put(stop)
 
@@ -73,6 +78,8 @@ def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
         while True:
             item = q.get()
             if item is stop:
+                if err:
+                    raise err[0]
                 return
             yield item
 

@@ -10,21 +10,37 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["demos", "nerf"],
+    ap.add_argument("mode", choices=["demos", "nerf", "kitchen"],
                     help="demos: expert keyframe trajectories; "
-                         "nerf: multi-view scene npz files")
+                         "nerf: multi-view scene npz files; "
+                         "kitchen: recorded real-robot-format demos "
+                         "(ply + rgb png + xarm txt + calibration)")
     ap.add_argument("--task", default="lift")
     ap.add_argument("--out", required=True)
     ap.add_argument("--n", type=int, default=5)
     ap.add_argument("--views", type=int, default=12)
     ap.add_argument("--image-size", type=int, default=48)
+    ap.add_argument("--image-hw", type=int, nargs=2, default=(60, 80),
+                    help="kitchen GT view size (reference: 60 80)")
+    ap.add_argument("--focal", type=float, default=76.18)
+    ap.add_argument("--keyframes", type=int, default=5)
+    ap.add_argument("--d-embed", type=int, default=512)
+    ap.add_argument("--no-embeds", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     import numpy as np
     os.makedirs(args.out, exist_ok=True)
 
-    if args.mode == "demos":
+    if args.mode == "kitchen":
+        from real_robot_nerf_actor_tpu.data.kitchen import write_kitchen_demos
+        write_kitchen_demos(
+            args.out, n_demos=args.n, n_keyframes=args.keyframes,
+            image_hw=tuple(args.image_hw), focal=args.focal, seed=args.seed,
+            d_embed=args.d_embed, write_embeds=not args.no_embeds)
+        print(f"saved {args.n} kitchen demos x {args.keyframes} keyframes "
+              f"-> {args.out}")
+    elif args.mode == "demos":
         from real_robot_nerf_actor_tpu.data.demos import (
             KeyframeBuffer, generate_demonstrations)
         trajs = generate_demonstrations(

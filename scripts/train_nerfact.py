@@ -17,6 +17,13 @@ def main():
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--data-root", default=None,
+                    help="recorded-demo dir: calibration.json + "
+                         "{d}_xarm_position.txt + real{d}/{pcd,rgb}{k}.* "
+                         "(reference layout; scripts/gen_data.py kitchen)")
+    ap.add_argument("--n-demos", type=int, default=5)
+    ap.add_argument("--eval-save-dir", default=None,
+                    help="save render panels here every eval interval")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -34,7 +41,14 @@ def main():
         cfg, peract=dataclasses.replace(cfg.peract, train=tcfg))
 
     tr = NerfActTrainer(cfg)
-    trainer = tr.make_trainer(tr.synthetic_data(batch_size=args.batch_size))
+    if args.data_root:
+        data = tr.replay_data(args.data_root, args.n_demos, args.batch_size)
+        eval_batch = next(data)  # one fixed batch for the periodic render
+    else:
+        data = tr.synthetic_data(batch_size=args.batch_size)
+        eval_batch = None
+    trainer = tr.make_trainer(data, eval_save_dir=args.eval_save_dir,
+                              eval_batch=eval_batch)
     trainer.run(resume=not args.no_resume)
 
 

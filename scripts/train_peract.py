@@ -44,54 +44,11 @@ def main():
 
     tr = PerActTrainer(cfg)
     if args.data_root:
-        data = replay_data(tr, args.data_root, args.n_demos, args.batch_size)
+        data = tr.replay_data(args.data_root, args.n_demos, args.batch_size)
     else:
         data = tr.synthetic_data(batch_size=args.batch_size)
     trainer = tr.make_trainer(data)
     trainer.run(resume=not args.no_resume)
-
-
-def replay_data(tr, root, n_demos, batch_size):
-    """Batches from recorded demos (reference data layout)."""
-    import numpy as np
-    import jax.numpy as jnp
-    from real_robot_nerf_actor_tpu.data.replay import (
-        ReplaySource, pad_point_cloud)
-    from real_robot_nerf_actor_tpu.ops import discretize_action
-
-    c = tr.cfg
-    src = ReplaySource(root, n_demos, np.eye(4))
-    rng = np.random.default_rng(0)
-    lang = np.zeros((c.model.lang_max_seq_len, c.model.lang_emb_dim),
-                    np.float32)
-    while True:
-        out = {k: [] for k in ("points", "colors", "valid", "proprio", "lang",
-                               "kf_xyz", "rot_grip", "collision")}
-        for _ in range(batch_size):
-            d = int(rng.integers(0, n_demos))
-            k = int(rng.integers(0, src.num_keyframes(d) - 1))
-            pc = src.pointcloud(d, k)
-            pts, cols, valid = pad_point_cloud(pc, c.voxelizer.max_num_coords)
-            xyz0, rot0, g0 = src.pose(d, k)
-            xyz1, rot1, g1 = src.pose(d, k + 1)
-            nxt = discretize_action(
-                jnp.asarray(xyz1)[None], jnp.asarray(rot1)[None],
-                jnp.asarray([g1]), jnp.ones((1,)), tr.bounds,
-                c.model.voxel_size, c.rotation_resolution)
-            cur = discretize_action(
-                jnp.asarray(xyz0)[None], jnp.asarray(rot0)[None],
-                jnp.asarray([g0]), jnp.ones((1,)), tr.bounds,
-                c.model.voxel_size, c.rotation_resolution)
-            out["points"].append(pts)
-            out["colors"].append(cols)
-            out["valid"].append(valid)
-            out["proprio"].append(np.concatenate(
-                [np.zeros(3, np.float32), np.asarray(cur.rot_grip[0], np.float32)]))
-            out["lang"].append(lang)
-            out["kf_xyz"].append(np.stack([xyz0, xyz1]))
-            out["rot_grip"].append(np.asarray(nxt.rot_grip[0]))
-            out["collision"].append(np.asarray(nxt.collision[0]))
-        yield {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
 
 
 if __name__ == "__main__":
