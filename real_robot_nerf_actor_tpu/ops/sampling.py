@@ -49,6 +49,32 @@ def sample_fine(key: jax.Array, rays: jnp.ndarray, weights: jnp.ndarray,
     return 1.0 / (1.0 / near * (1.0 - z_steps) + 1.0 / far * z_steps)
 
 
+def sample_importance_z(key: jax.Array, z: jnp.ndarray, weights: jnp.ndarray,
+                        n_fine: int) -> jnp.ndarray:
+    """Importance sampling over ARBITRARY sorted coarse positions.
+
+    sample_fine assumes the coarse pass was uniform-stratified (bin i maps
+    linearly back to [near, far]); occupancy-placed coarse samples are not
+    uniform, so here the CDF is inverted over the actual intervals
+    [z_i, z_{i+1}] weighted by the coarse compositing weights.
+
+    z: (B, K) sorted; weights: (B, K). Returns (B, n_fine), unsorted.
+    """
+    b, k = z.shape
+    w = jax.lax.stop_gradient(weights[:, :-1]) + 1e-5     # interval i = [z_i, z_{i+1}]
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
+    k_u, k_j = jax.random.split(key)
+    u = jax.random.uniform(k_u, (b, n_fine), dtype=z.dtype)
+    inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1)
+    inds = jnp.clip(inds - 1, 0, k - 2)
+    z_lo = jnp.take_along_axis(z, inds, axis=-1)
+    z_hi = jnp.take_along_axis(z, inds + 1, axis=-1)
+    t = jax.random.uniform(k_j, (b, n_fine), dtype=z.dtype)
+    return z_lo + t * (z_hi - z_lo)
+
+
 def sample_fine_depth(key: jax.Array, rays: jnp.ndarray, depth: jnp.ndarray,
                       n_fine_depth: int, depth_std: float = 0.001) -> jnp.ndarray:
     """Gaussian samples around a per-ray depth estimate, clamped to [near, far].

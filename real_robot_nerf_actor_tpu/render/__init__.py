@@ -1,2 +1,2 @@
 from real_robot_nerf_actor_tpu.render.renderer import (
-    RendererConfig, NeuralRenderer, psnr)
+    NeuralRenderer, OccupancyState, RendererConfig, psnr)

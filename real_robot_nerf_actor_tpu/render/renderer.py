@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +30,19 @@ from real_robot_nerf_actor_tpu.models.nerf_field import (
 from real_robot_nerf_actor_tpu.ops.grid_sample import expand_corners
 from real_robot_nerf_actor_tpu.ops.compositing import (
     CompositeOut, composite)
+from real_robot_nerf_actor_tpu.ops.occupancy import (
+    occupied_aabb, pool_occupancy, sample_occupancy, tighten_rays)
 from real_robot_nerf_actor_tpu.ops.rays import gen_rays
 from real_robot_nerf_actor_tpu.ops.sampling import (
-    sample_coarse, sample_fine, sample_fine_depth)
+    sample_coarse, sample_fine, sample_fine_depth, sample_importance_z)
+
+
+class OccupancyState(NamedTuple):
+    """Per-scene occupancy artifacts for sampling_mode='occupancy':
+    a pooled+dilated grid and the occupied AABB (both derived once per
+    scene by NeuralRenderer.prepare_occupancy)."""
+    pooled: "jnp.ndarray"   # (Vp, Vp, Vp) float {0, 1}
+    aabb: "jnp.ndarray"     # (2, 3) canonical [lo, hi]
 
 
 def psnr(pred: jnp.ndarray, gt: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
@@ -66,6 +76,22 @@ class RendererConfig:
     # True/False force either path.
     fused_gather: "bool | str" = "auto"
     reuse_coarse: bool = True   # fine pass reuses coarse MLP evaluations
+    # occupancy sample compaction (opt-in perf mode like the proposal
+    # sampler — changes sampling semantics, quality measured on trained
+    # checkpoints): "occupancy" tightens each ray to the occupied AABB
+    # (zero gathers) and places the coarse budget by inverse-CDF over a
+    # probed pooled+dilated occupancy grid (ops/occupancy.py). Callers
+    # pass render_rays/render_image/rendering_loss an OccupancyState from
+    # prepare_occupancy (the voxelizer's occupancy channel).
+    sampling_mode: str = "stratified"   # "stratified" | "occupancy"
+    occ_pool: int = 4
+    occ_dilate: int = 1
+    occ_probes: int = 32
+    # pdf floor for probe-empty bins: the dilated pooled grid already
+    # margins real geometry, so the floor only buys drift insurance —
+    # at 0.002, <5% of the budget leaks into probe-empty space
+    occ_floor: float = 0.002
+    occ_tighten: bool = True
     # the embed head is linear, so compositing the last hidden and applying
     # lin_out's embed columns ONCE PER RAY is exact (same params) and skips
     # the per-sample wide matmul + its HBM write; see
@@ -249,8 +275,19 @@ class NeuralRenderer:
                 params, out.embed, out.weights.sum(-1)))
         return out
 
+    def prepare_occupancy(self, occupancy: jnp.ndarray) -> OccupancyState:
+        """Derive the per-scene sampling artifacts for
+        sampling_mode='occupancy' from the voxelizer's occupancy channel
+        (ops/voxelize output[..., -1]; accepts (V,V,V) or (1,V,V,V))."""
+        if occupancy.ndim == 4:
+            occupancy = occupancy[0]
+        pooled = pool_occupancy(occupancy, self.cfg.occ_pool,
+                                self.cfg.occ_dilate)
+        return OccupancyState(pooled=pooled, aabb=occupied_aabb(pooled))
+
     def render_rays(self, params, voxel_feat, rays, key,
-                    pre_expanded: bool = False) -> dict:
+                    pre_expanded: bool = False,
+                    occ: Optional[OccupancyState] = None) -> dict:
         """Full coarse+fine render of a flat ray batch.
 
         rays: (R, 8). Returns {'coarse': CompositeOut, 'fine': CompositeOut}.
@@ -264,7 +301,16 @@ class NeuralRenderer:
             pre_expanded = True
         k_coarse, k_fine, k_fdepth, k_n1, k_n2 = jax.random.split(key, 5)
         late = self._late_embed_active()
-        z_coarse = sample_coarse(k_coarse, rays, c.n_coarse, c.lindisp)
+        occ_mode = c.sampling_mode == "occupancy" and occ is not None
+        if occ_mode:
+            bounds = jnp.asarray(c.field.coord_bounds, rays.dtype)
+            if c.occ_tighten:
+                rays = tighten_rays(rays, occ.aabb, bounds)
+            z_coarse = sample_occupancy(k_coarse, rays, occ.pooled,
+                                        c.n_coarse, bounds, c.occ_probes,
+                                        c.occ_floor)
+        else:
+            z_coarse = sample_coarse(k_coarse, rays, c.n_coarse, c.lindisp)
         compact_c = late and not self.cfg.field.use_proposal
         vals_c = self._eval_points(params, voxel_feat, rays, z_coarse, True,
                                    k_n1, pre_expanded, compact=compact_c)
@@ -278,9 +324,16 @@ class NeuralRenderer:
         if c.using_fine:
             new = []
             if c.n_fine - c.n_fine_depth > 0:
-                new.append(sample_fine(k_fine, rays, coarse.weights,
-                                       c.n_fine - c.n_fine_depth,
-                                       c.n_coarse, c.lindisp))
+                if occ_mode:
+                    # coarse z are occupancy-placed (non-uniform): invert
+                    # the CDF over the ACTUAL intervals, not uniform bins
+                    new.append(sample_importance_z(
+                        k_fine, z_coarse, coarse.weights,
+                        c.n_fine - c.n_fine_depth))
+                else:
+                    new.append(sample_fine(k_fine, rays, coarse.weights,
+                                           c.n_fine - c.n_fine_depth,
+                                           c.n_coarse, c.lindisp))
             if c.n_fine_depth > 0:
                 new.append(sample_fine_depth(
                     k_fdepth, rays, jax.lax.stop_gradient(coarse.depth),
@@ -341,7 +394,7 @@ class NeuralRenderer:
 
     # ------------------------------------------------------------- full image
     def render_image(self, params, voxel_feat, tgt_pose, focal, key,
-                     c_principal=None):
+                     c_principal=None, occ: Optional[OccupancyState] = None):
         """Render a full (H, W) image by tiling rays (lax.map bounds memory).
 
         tgt_pose: (1, 4, 4). Returns (rgb (H,W,3), embed (H,W,D), depth (H,W)).
@@ -368,7 +421,7 @@ class NeuralRenderer:
         def one_tile(args):
             rr, kk = args
             o = self.render_rays(params, voxel_feat, rr, kk,
-                                 pre_expanded=expanded)
+                                 pre_expanded=expanded, occ=occ)
             f = o.get("fine", o["coarse"])
             return f.rgb, f.embed, f.depth
 
@@ -380,7 +433,8 @@ class NeuralRenderer:
 
     # ------------------------------------------------------------------ loss
     def rendering_loss(self, params, voxel_feat, gt_rgb, gt_pose, focal, key,
-                       gt_embed=None, gt_depth=None, c_principal=None):
+                       gt_embed=None, gt_depth=None, c_principal=None,
+                       occ: Optional[OccupancyState] = None):
         """Sampled-ray rendering loss (compute_rendering_loss parity).
 
         gt_rgb: (1, H, W, 3) in [0, 1]; gt_pose: (1, 4, 4);
@@ -396,7 +450,8 @@ class NeuralRenderer:
                         c=c_principal).reshape(-1, 8)
         ray_idx = jax.random.randint(k_sel, (cfg.ray_chunk_size,), 0, h * w)
         sel_rays = rays[ray_idx]
-        out = self.render_rays(params, voxel_feat, sel_rays, k_render)
+        out = self.render_rays(params, voxel_feat, sel_rays, k_render,
+                               occ=occ)
 
         gt_rgb_sel = gt_rgb.reshape(-1, 3)[ray_idx]
         coarse, fine = out["coarse"], out.get("fine", out["coarse"])
