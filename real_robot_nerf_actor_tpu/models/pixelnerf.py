@@ -40,6 +40,16 @@ class PixelNerfConfig:
     freq_factor: float = 1.5
     use_viewdirs: bool = True
     regress_coord: bool = False
+    # Aug-NeRF perturbation hooks (reference featurenerf models_embed.py:
+    # 106-110,186-187,298-299): train-time gaussian noise on the world
+    # query points (input aug) and on the raw MLP output (output aug),
+    # identity when off or when train=False. (The reference also reads a
+    # use_layer_aug flag but never applies it — a dead flag, not ported.)
+    # Noise draws from the flax "aug" rng collection: pass
+    # rngs={"aug": key} to apply() when enabled.
+    use_input_aug: bool = False
+    use_output_aug: bool = False
+    aug_noise_scale: float = 0.0
     encoder: SpatialEncoderConfig = SpatialEncoderConfig()
 
     @property
@@ -89,6 +99,11 @@ class PixelNerfNet(nn.Module):
         b = xyz.shape[0]
         h, w = image_shape
 
+        if cfg.use_input_aug and train and cfg.aug_noise_scale > 0:
+            xyz = xyz + jax.random.normal(
+                self.make_rng("aug"), xyz.shape, xyz.dtype) \
+                * cfg.aug_noise_scale
+
         # world -> each source camera
         xyz_rep = jnp.broadcast_to(xyz[None], (ns, b, 3))
         rot = poses_w2c[:, :3, :3]
@@ -118,6 +133,10 @@ class PixelNerfNet(nn.Module):
         mlp_in = mlp_in.transpose(1, 0, 2).reshape(b * ns, -1)
         out, _ = self.mlp(mlp_in, num_views=ns)
         out = out.reshape(b, cfg.d_out)
+        if cfg.use_output_aug and train and cfg.aug_noise_scale > 0:
+            out = out + jax.random.normal(
+                self.make_rng("aug"), out.shape, out.dtype) \
+                * cfg.aug_noise_scale
 
         res = {
             "rgb": jax.nn.sigmoid(out[..., :3]),

@@ -149,10 +149,9 @@ def make_embedding(name: str, out_dim: Optional[int] = None,
     # -- transformer class
     if name == "dino":
         return of(DinoCLS(), 384)
-    if name == "mvp":   # ViT-B/16 MAE backbone (reference mvp.py), CLS token
-        m = DinoCLS(ViTConfig(patch_size=16, embed_dim=768, depth=12,
-                              num_heads=12))
-        return of(m, 768)
+    if name == "mvp":   # ViT-B/16 MAE backbone (reference mvp.py), CLS
+        # token; pretrained MAE checkpoints load via mvp_encoder_variables
+        return of(DinoCLS(MVP_VIT_CFG), 768)
     if name == "pointnet":
         return of(PointNet(out_dim or 128), out_dim or 128)
     if name == "pointnet2":
@@ -162,6 +161,21 @@ def make_embedding(name: str, out_dim: Optional[int] = None,
         return Embedding(name, m, out_dim or 192,
                          apply_fn=lambda v, o: m.apply(v, o))
     raise ValueError(f"unknown embedding {name!r}")
+
+
+MVP_VIT_CFG = ViTConfig(patch_size=16, embed_dim=768, depth=12,
+                        num_heads=12)
+
+
+def mvp_encoder_variables(checkpoint: dict) -> dict:
+    """Variables for the 'mvp' zoo entry from an MAE/MVP torch checkpoint
+    (the reference loads mvp.load("vitb-mae-egosoup"),
+    featurenerf_robo/src/representations/mvp.py): convert the MAE-layout
+    state dict (models/vit.convert_torch_mae_weights) and nest it under the
+    DinoCLS wrapper's 'vit' scope."""
+    from real_robot_nerf_actor_tpu.models.vit import convert_torch_mae_weights
+    conv = convert_torch_mae_weights(checkpoint, MVP_VIT_CFG)
+    return {"params": {"vit": conv["params"]}}
 
 
 def featurenerf_encoder_variables(train_state) -> dict:

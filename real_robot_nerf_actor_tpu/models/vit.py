@@ -173,3 +173,30 @@ def convert_torch_dino_weights(state_dict: dict, cfg: ViTConfig) -> dict:
     put(["norm", "scale"], sd["norm.weight"])
     put(["norm", "bias"], sd["norm.bias"])
     return {"params": p}
+
+
+def convert_torch_mae_weights(checkpoint: dict, cfg: ViTConfig) -> dict:
+    """Map an MAE/MVP torch checkpoint to this module's flax params.
+
+    The MVP encoders (reference featurenerf_robo/src/representations/mvp.py,
+    `mvp.load("vitb-mae-egosoup")`) are MAE-pretrained ViT-B/16 models whose
+    ENCODER keys share the timm layout the DINO converter handles. What MAE
+    checkpoints add on top:
+      - the state dict is usually wrapped under a "model" (or "state_dict")
+        key, sometimes with a "module." DDP prefix;
+      - decoder-side keys (decoder_*, mask_token) that must be dropped;
+      - fine-tuned variants store the final norm as "fc_norm".
+    This normalizes all of that and delegates to convert_torch_dino_weights.
+    """
+    sd = checkpoint
+    for wrapper in ("model", "state_dict"):
+        if wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in sd.items()}
+    sd = {k: v for k, v in sd.items()
+          if not (k.startswith("decoder_") or k == "mask_token")}
+    if "norm.weight" not in sd and "fc_norm.weight" in sd:
+        sd["norm.weight"] = sd.pop("fc_norm.weight")
+        sd["norm.bias"] = sd.pop("fc_norm.bias")
+    return convert_torch_dino_weights(sd, cfg)

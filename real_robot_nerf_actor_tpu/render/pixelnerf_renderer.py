@@ -36,32 +36,41 @@ class PixelNerfRenderer:
         self.cfg = cfg
         self.net = net
 
-    def _eval(self, variables, enc, rays, z_samp):
+    def _eval(self, variables, enc, rays, z_samp, train=False,
+              aug_key=None):
         latent, poses_w2c, focal, c, image_shape = enc
         r, k = z_samp.shape
         pts = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
         dirs = jnp.broadcast_to(rays[:, None, 3:6], pts.shape)
         out = self.net.apply(variables, latent, poses_w2c, focal, c,
                              image_shape, pts.reshape(r * k, 3),
-                             dirs.reshape(r * k, 3))
+                             dirs.reshape(r * k, 3), train=train,
+                             rngs=({"aug": aug_key} if aug_key is not None
+                                   else None))
         rgbs = out["rgb"].reshape(r, k, 3)
         sigmas = out["sigma"].reshape(r, k)
         embeds = out["embed"].reshape(r, k, -1)
         return composite(z_samp, rays, rgbs, sigmas, embeds,
                          white_bkgd=self.cfg.white_bkgd), out
 
-    def render_rays(self, variables, enc, rays, key):
+    def render_rays(self, variables, enc, rays, key, train=False):
         """rays: (R, 8); enc: tuple from encode (latent, w2c, focal, c, hw).
 
         When the field regresses coord residuals, each level also yields a
         '<level>_coord' entry: the plain per-ray MEAN of the residual over
         samples — not alpha-composited — matching the reference
         (nerf_embed.py:279 coord_final = mean over the sample dim).
+
+        train=True enables the field's Aug-NeRF perturbation hooks
+        (PixelNerfConfig.use_input_aug/use_output_aug) with per-pass rngs.
         """
         c = self.cfg
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, ka1, ka2 = jax.random.split(key, 5)
+        aug = (self.net.cfg.use_input_aug or self.net.cfg.use_output_aug)
+        aug_keys = (ka1, ka2) if (train and aug) else (None, None)
         z_coarse = sample_coarse(k1, rays, c.n_coarse, c.lindisp)
-        coarse, raw = self._eval(variables, enc, rays, z_coarse)
+        coarse, raw = self._eval(variables, enc, rays, z_coarse,
+                                 train=train, aug_key=aug_keys[0])
         out = {"coarse": coarse}
         if "coord_residual" in raw:
             out["coarse_coord"] = raw["coord_residual"].reshape(
@@ -77,7 +86,9 @@ class PixelNerfRenderer:
                     k3, rays, jax.lax.stop_gradient(coarse.depth),
                     c.n_fine_depth, c.depth_std))
             z_all = jnp.sort(jnp.concatenate(samps, -1), -1)
-            out["fine"], raw_f = self._eval(variables, enc, rays, z_all)
+            out["fine"], raw_f = self._eval(variables, enc, rays, z_all,
+                                            train=train,
+                                            aug_key=aug_keys[1])
             if "coord_residual" in raw_f:
                 out["fine_coord"] = raw_f["coord_residual"].reshape(
                     *z_all.shape, 3).mean(axis=1)

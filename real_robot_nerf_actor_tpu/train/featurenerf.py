@@ -131,7 +131,10 @@ class FeatureNerfTrainer:
         rays_all = gen_rays(batch["poses"], w, h, batch["focal"],
                             cfg.z_near, cfg.z_far)            # (NV, H, W, 8)
         rays = rays_all[v, y, x]
-        out = self.renderer.render_rays(variables, enc, rays, k_render)
+        # train=True arms the Aug-NeRF perturbation hooks when the model
+        # config enables them (identity otherwise)
+        out = self.renderer.render_rays(variables, enc, rays, k_render,
+                                        train=True)
 
         gt_rgb = batch["images"][v, y, x]
         coarse, fine = out["coarse"], out.get("fine", out["coarse"])

@@ -245,3 +245,67 @@ def test_scene_data_emits_src_ord_and_attn():
         seen_ns.add(int(b["src_ord"].shape[0]))
         assert len(set(np.asarray(b["src_ord"]).tolist())) == b["src_ord"].shape[0]
     assert seen_ns == {1, 2}
+
+
+def test_augnerf_hooks_identity_off_and_perturb_on():
+    """Aug-NeRF hooks (reference models_embed.py:106-110,186-187,298-299):
+    identity when disabled or when train=False; train-time noise perturbs
+    outputs when enabled."""
+    import dataclasses
+
+    def run(cfg, train, rngs=None, seed=0):
+        net = PixelNerfNet(cfg)
+        v = net.init(
+            {"params": jax.random.key(0), "aug": jax.random.key(9)},
+            jnp.zeros((1, 16, 16, 3)), jnp.eye(4)[None],
+            jnp.asarray([10.0, -10.0]), jnp.zeros(2), jnp.zeros((8, 3)),
+            jnp.zeros((8, 3)), method=net.encode_and_query)
+        latent = net.apply(v, jnp.full((1, 16, 16, 3), 0.3),
+                           method=net.encode)
+        xyz = jax.random.normal(jax.random.key(1), (8, 3)) * 0.1
+        dirs = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (8, 1))
+        return net.apply(v, latent, jnp.eye(4)[None],
+                         jnp.asarray([10.0, -10.0]), jnp.zeros(2), (16, 16),
+                         xyz, dirs, train=train, rngs=rngs)
+
+    off = TINY
+    a = run(off, train=True)
+    b = run(off, train=False)
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+
+    on = dataclasses.replace(TINY, use_input_aug=True, use_output_aug=True,
+                             aug_noise_scale=0.05)
+    c = run(on, train=True, rngs={"aug": jax.random.key(2)})
+    d = run(on, train=True, rngs={"aug": jax.random.key(3)})
+    e = run(on, train=False)
+    # different noise keys -> different outputs; eval mode -> matches off
+    assert np.abs(np.asarray(c["sigma"]) - np.asarray(d["sigma"])).max() > 0 \
+        or np.abs(np.asarray(c["rgb"]) - np.asarray(d["rgb"])).max() > 0
+    np.testing.assert_array_equal(np.asarray(e["rgb"]), np.asarray(a["rgb"]))
+
+
+def test_augnerf_through_renderer_and_trainstep():
+    """The renderer/trainer plumbing passes train + aug rngs end to end
+    (train step runs with hooks armed; eval render stays deterministic)."""
+    import dataclasses
+    cfg = FeatureNerfConfig(
+        model=dataclasses.replace(TINY, use_input_aug=True,
+                                  aug_noise_scale=0.02),
+        renderer=PixelNerfRendererConfig(n_coarse=4, n_fine=2,
+                                         n_fine_depth=0),
+        ray_batch_size=8,
+        train=TrainConfig(num_steps=1, prefetch=0))
+    tr = FeatureNerfTrainer(cfg)
+    state = tr.init_state(jax.random.key(0), image_shape=(16, 16))
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)),
+                              jnp.float32),
+        "poses": jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32),
+                                             (2, 4, 4)).copy()),
+        "focal": jnp.asarray(20.0),
+        "features": jnp.asarray(rng.standard_normal((2, 4, 4, 6)),
+                                jnp.float32) * 0.1,
+    }
+    state, m = jax.jit(tr.train_step)(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))

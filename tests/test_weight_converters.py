@@ -140,3 +140,55 @@ def test_clip_text_converter():
     pooled, per_tok = enc.apply(variables,
                                 jnp.asarray([[1, 5, 9, 63, 0, 0, 0, 0]]))
     assert pooled.shape == (1, 24) and np.isfinite(np.asarray(pooled)).all()
+
+
+def test_mae_converter_normalizes_layout():
+    """convert_torch_mae_weights handles everything an MAE/MVP checkpoint
+    adds over the plain timm layout — "model" wrapper, "module." DDP
+    prefix, decoder-side keys, fc_norm naming — and produces exactly the
+    params the DINO converter produces from the clean encoder dict
+    (reference MVP = mvp.load("vitb-mae-egosoup"), an MAE ViT-B/16)."""
+    from real_robot_nerf_actor_tpu.models.vit import convert_torch_mae_weights
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                    image_size=32)
+    sd = _dino_state_dict(cfg)
+    want = convert_torch_dino_weights(sd, cfg)
+
+    rng = np.random.default_rng(5)
+    messy = {"module." + k: v for k, v in sd.items()}
+    messy["module.fc_norm.weight"] = messy.pop("module.norm.weight")
+    messy["module.fc_norm.bias"] = messy.pop("module.norm.bias")
+    messy["module.mask_token"] = rng.standard_normal((1, 1, 32)).astype(
+        np.float32)
+    messy["module.decoder_embed.weight"] = rng.standard_normal(
+        (16, 32)).astype(np.float32)
+    messy["module.decoder_blocks.0.norm1.weight"] = np.ones(16, np.float32)
+    got = convert_torch_mae_weights({"model": messy}, cfg)
+
+    flat_w = jax.tree_util.tree_leaves_with_path(want)
+    flat_g = jax.tree_util.tree_leaves_with_path(got)
+    assert len(flat_w) == len(flat_g)
+    for (pw, w), (pg, g) in zip(flat_w, flat_g):
+        assert pw == pg
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_mvp_zoo_entry_loads_converted_checkpoint():
+    """The 'mvp' zoo entry accepts mvp_encoder_variables output: the
+    converted tree matches the module's own param structure (checked via
+    eval_shape at the real ViT-B/16 size — no 12-layer forward needed)."""
+    from real_robot_nerf_actor_tpu.models.representations import (
+        MVP_VIT_CFG, make_embedding, mvp_encoder_variables)
+
+    rng_cfg = MVP_VIT_CFG
+    sd = _dino_state_dict(rng_cfg)
+    variables = mvp_encoder_variables({"model": sd})
+    emb = make_embedding("mvp")
+    obs = jnp.zeros((1, 224, 224, 3))
+    ref = jax.eval_shape(lambda: emb.module.init(jax.random.key(0), obs))
+    ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, ref["params"])
+    got_shapes = jax.tree_util.tree_map(lambda x: x.shape,
+                                        variables["params"])
+    assert ref_shapes == got_shapes
+    assert emb.out_dim == 768
