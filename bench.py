@@ -50,10 +50,33 @@ def measure_rt_overhead(jax, n: int = 9) -> float:
     return ts[len(ts) // 2]
 
 
+def scene_occupancy(jax):
+    """Occupancy channel of the voxelized synthetic kitchen (realistic
+    table-top sparsity, ~2% of cells at 100^3) for the occupancy modes."""
+    import jax.numpy as jnp
+    import numpy as np
+    from real_robot_nerf_actor_tpu.data.replay import (PointCloudSample,
+                                                       pad_point_cloud)
+    from real_robot_nerf_actor_tpu.data.synthetic import make_synthetic_scene
+    from real_robot_nerf_actor_tpu.ops import VoxelizerSpec, voxelize
+
+    scene = make_synthetic_scene(seed=0)
+    pts, cols, valid = pad_point_cloud(
+        PointCloudSample(scene.points, scene.colors), 65536)
+    bounds = jnp.asarray([-0.1, -0.3, -0.2, 0.8, 0.7, 0.7])
+    vox = voxelize(jnp.asarray(pts)[None], jnp.asarray(cols)[None], bounds,
+                   VoxelizerSpec(voxel_size=100, feature_size=3,
+                                 max_num_coords=65536),
+                   valid=jnp.asarray(valid)[None])
+    return vox[0, ..., -1]
+
+
 def bench_nerf_render(jax, rt: float, n_inner: int = 8,
                       dtype: str = "bfloat16", proposal: bool = False,
                       n_frames: int = 1, proposal_use_latent: bool = True,
-                      mlp_backend: str = "xla"):
+                      mlp_backend: str = "xla", occupancy: bool = False,
+                      n_coarse: int = 64, n_fine: int = 32,
+                      n_fine_depth: int = 16):
     import jax.numpy as jnp
     import numpy as np
     from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
@@ -61,8 +84,9 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
     from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
 
     cfg = RendererConfig(
-        image_width=128, image_height=128, n_coarse=64, n_fine=32,
-        n_fine_depth=16,
+        image_width=128, image_height=128, n_coarse=n_coarse, n_fine=n_fine,
+        n_fine_depth=n_fine_depth,
+        sampling_mode="occupancy" if occupancy else "stratified",
         field=NerfFieldConfig(d_latent=64, d_embed=512, d_hidden=512,
                               n_blocks=5, combine_layer=3,
                               compute_dtype=dtype,
@@ -70,6 +94,8 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
                               proposal_use_latent=proposal_use_latent,
                               mlp_backend=mlp_backend))
     r = NeuralRenderer(cfg)
+    occ_state = r.prepare_occupancy(scene_occupancy(jax)) if occupancy \
+        else None
     params = r.init_params(jax.random.key(0))
     # a random init can land sigma <= 0 everywhere (all-zero weights); bias
     # the density head positive so the checksum certifies a live graph
@@ -99,8 +125,9 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
         vox_e = expand_corners(vox).astype(dtype)
 
         def body(carry, k):
-            out = r.render_rays(params, vox_e, rays, k, pre_expanded=True)
-            f = out["fine"]
+            out = r.render_rays(params, vox_e, rays, k, pre_expanded=True,
+                                occ=occ_state)
+            f = out.get("fine", out["coarse"])
             chk = (jnp.sum(f.rgb) + jnp.sum(f.depth.astype(jnp.float32))
                    ).astype(jnp.float32)
             return carry + chk, None
@@ -221,6 +248,54 @@ def bench_serve_pipeline(jax, rt: float, n_inner: int = 8,
     return (time.perf_counter() - t0 - rt) / n_inner * 1000.0
 
 
+def bench_serve_loop(jax, rt: float, dtype: str = "bfloat16"):
+    """Served-loop latency measured THROUGH run_deployment (not a bench
+    loop): p50 per-step wall over a replayed horizon with the one-dispatch
+    PolicyServer, plus run_deployment_scan's per-action cost (device-side
+    lax.scan horizon — dispatch amortized). Returns (loop_p50_ms,
+    scan_ms_per_action)."""
+    import numpy as np
+    from real_robot_nerf_actor_tpu.data.replay import ReplayRobotIO
+    from real_robot_nerf_actor_tpu.data.synthetic import (
+        make_replay_steps, make_synthetic_demo, make_synthetic_scene)
+    from real_robot_nerf_actor_tpu.models import PerceiverConfig, PerceiverIO
+    from real_robot_nerf_actor_tpu.ops import VoxelizerSpec
+    from real_robot_nerf_actor_tpu.train.serve import (
+        PolicyServer, ServeConfig, run_deployment, run_deployment_scan)
+    import jax.numpy as jnp
+
+    cfg = PerceiverConfig(depth=6, voxel_size=100, num_latents=2048,
+                          latent_dim=512, compute_dtype=dtype)
+    spec = VoxelizerSpec(voxel_size=100, feature_size=3,
+                         max_num_coords=220000)
+    net = PerceiverIO(cfg)
+    variables = net.init(
+        jax.random.key(0), jnp.zeros((1, 100, 100, 100, cfg.initial_dim)),
+        jnp.zeros((1, cfg.low_dim_size)),
+        jnp.zeros((1, cfg.lang_max_seq_len, cfg.lang_emb_dim)))
+    lang = np.zeros((cfg.lang_max_seq_len, cfg.lang_emb_dim), np.float32)
+    server = PolicyServer(ServeConfig(num_steps=20), cfg, spec, variables,
+                          lang)
+    scene = make_synthetic_scene(seed=0, n_points=200000)
+    demo = make_synthetic_demo(scene)
+    steps = make_replay_steps(scene, demo) * 4          # horizon 20
+    robot = ReplayRobotIO(steps)
+    run_deployment(server, robot, num_steps=2)          # compile + warm
+    times = []
+    robot2 = ReplayRobotIO(steps)
+    for _ in range(12):
+        t0 = time.perf_counter()
+        run_deployment(server, robot2, num_steps=1)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    loop_p50 = times[len(times) // 2] * 1000.0
+    run_deployment_scan(server, steps[:20])             # compile + warm
+    t0 = time.perf_counter()
+    run_deployment_scan(server, steps[:20])
+    scan_per_action = (time.perf_counter() - t0 - rt) / 20 * 1000.0
+    return loop_p50, scan_per_action
+
+
 def bench_voxelize(jax, rt: float, n_inner: int = 20):
     """BASELINE config 2: fused multi-cam point cloud -> 100^3 feature grid."""
     import jax.numpy as jnp
@@ -285,7 +360,25 @@ def main():
         int8_rays = bench_nerf_render(jax, rt, mlp_backend="pallas_int8")
     except Exception:
         int8_rays = 0.0
+    # occupancy sample compaction (opt-in; real table-top occupancy from
+    # the voxelized synthetic kitchen): parity budgets first, then the
+    # compact serving config (24+16 occupancy-placed samples + int8 MLP)
+    try:
+        occ_rays = bench_nerf_render(jax, rt, occupancy=True,
+                                     mlp_backend="pallas_bf16")
+    except Exception:
+        occ_rays = 0.0
+    try:
+        occ_serve_rays = bench_nerf_render(
+            jax, rt, occupancy=True, mlp_backend="pallas_int8",
+            n_coarse=24, n_fine=16, n_fine_depth=0, n_inner=16)
+    except Exception:
+        occ_serve_rays = 0.0
     actions_per_sec, device_ms, e2e_p50_ms, piped_p50_ms = bench_policy(jax, rt)
+    try:
+        serve_loop_p50_ms, serve_scan_ms = bench_serve_loop(jax, rt)
+    except Exception:
+        serve_loop_p50_ms, serve_scan_ms = 0.0, 0.0
     try:
         vox_per_sec = bench_voxelize(jax, rt)
     except Exception:
@@ -304,12 +397,16 @@ def main():
         "proposal_nolat_rays_per_sec": round(proposal_nolat_rays, 1),
         "batched2_rays_per_sec": round(batched_rays, 1),
         "int8_rays_per_sec": round(int8_rays, 1),
+        "occupancy_rays_per_sec": round(occ_rays, 1),
+        "occupancy_serve_rays_per_sec": round(occ_serve_rays, 1),
         "policy_actions_per_sec": round(actions_per_sec, 2),
         "policy_device_ms": round(device_ms, 2),
         "policy_p50_latency_ms": round(e2e_p50_ms, 2),
         "policy_pipelined_p50_ms": round(piped_p50_ms, 2),
         "voxelize_220k_clouds_per_sec": round(vox_per_sec, 2),
         "serve_pipeline_ms": round(serve_ms, 2),
+        "serve_loop_p50_ms": round(serve_loop_p50_ms, 2),
+        "serve_scan_ms_per_action": round(serve_scan_ms, 2),
         "dispatch_rt_ms": round(rt * 1000.0, 2),
     }))
 

@@ -57,6 +57,45 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_params_rule(mesh: Mesh, state_example):
+    """Tensor-parallel parameter placement over the 'model' axis, keyed by
+    the parameter PATH, not just a last-dim-size heuristic:
+
+      - the PerceiverIO latent table ('latents', (num_latents, latent_dim))
+        and positional/feature embedding tables ('pos_emb*', '*embedding*')
+        shard their FEATURE axis (the in-model shard_hidden constraints cut
+        the matching activations there);
+      - dense/conv kernels shard their OUTPUT-channel (last) axis — the
+        Megatron column cut; the paired row cut is expressed by the
+        in-model constraints (parallel/constraints.py);
+      - 1-D leaves (biases, norm scales) and small tables replicate.
+
+    Divisibility by the model-axis size is always required; anything not
+    divisible replicates (correct, just not TP-sharded). Returns a
+    sharding tree matching `state_example`.
+    """
+    model_n = mesh.shape["model"]
+
+    def rule(path, x):
+        ndim = np.ndim(x)
+        shape = np.shape(x)
+        if ndim < 2 or model_n <= 1:
+            return replicate(mesh)
+        names = [getattr(k, "key", getattr(k, "name", str(k)))
+                 for k in path]
+        path_s = "/".join(str(n) for n in names).lower()
+        feature_ok = shape[-1] % model_n == 0 and shape[-1] >= 16
+        is_table = any(t in path_s for t in
+                       ("latents", "pos_emb", "embedding", "cls_token"))
+        if is_table or feature_ok:
+            if shape[-1] % model_n == 0:
+                return NamedSharding(
+                    mesh, P(*([None] * (ndim - 1)), "model"))
+        return replicate(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, state_example)
+
+
 def data_parallel_shardings(mesh: Mesh, batch_example, params_example):
     """(batch_sharding_tree, param_sharding_tree) for a pjit'd train step:
     batch arrays sharded on their leading axis, params replicated."""

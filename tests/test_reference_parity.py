@@ -103,3 +103,39 @@ def test_positional_encoding_matches_reference_math():
         jnp.asarray(x.numpy()), PositionalEncodingSpec(num_freqs, 3, factor,
                                                        True)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(_ref_voxel_grid() is None,
+                    reason="reference voxelizer not importable")
+def test_voxelizer_matches_reference_at_flagship_scale():
+    """Reference-SCALE parity (round-2 verdict: the miniature fixture
+    proves format parity, not scale parity): 100^3 grid, 220k padded
+    points — the exact shapes of voxel_grid_real.py:175-233 in the real
+    kitchen trainers."""
+    import torch
+    import jax.numpy as jnp
+    from real_robot_nerf_actor_tpu.ops import VoxelizerSpec, voxelize
+
+    m = _ref_voxel_grid()
+    bounds = [-0.1, -0.3, -0.2, 0.8, 0.7, 0.7]
+    v, n = 100, 220000
+    rng = np.random.default_rng(3)
+    coords = rng.uniform(-0.3, 0.9, (1, n, 3)).astype(np.float32)
+    rgb = rng.uniform(-1, 1, (1, n, 3)).astype(np.float32)
+
+    ref_vg = m.VoxelGrid(coord_bounds=bounds, voxel_size=v, device="cpu",
+                         batch_size=1, feature_size=3, max_num_coords=n)
+    want = ref_vg.coords_to_bounding_voxel_grid(
+        torch.tensor(coords), coord_features=torch.tensor(rgb),
+        coord_bounds=torch.tensor([bounds])).numpy()
+
+    got = np.asarray(voxelize(
+        jnp.asarray(coords), jnp.asarray(rgb), jnp.asarray(bounds),
+        VoxelizerSpec(voxel_size=v, feature_size=3, max_num_coords=n)))
+
+    assert got.shape == want.shape == (1, v, v, v, 10)
+    # 220k points scatter-averaged into 1M cells: fp32 reduction order
+    # differs between torch scatter_add_ and the XLA segment sum, so
+    # tolerances are a notch looser than the 3k-point case
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-4)
