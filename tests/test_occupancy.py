@@ -160,3 +160,33 @@ def test_renderer_occupancy_constant_field_matches_stratified():
                                atol=0.03)
     np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
                                atol=0.1)
+
+
+def test_renderer_tighten_only_mode():
+    """occ_probes=0 (tighten-only): zero probe gathers, stratified samples
+    confined to the occupied slab's t-interval."""
+    import dataclasses
+    from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
+    from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
+
+    cfg = RendererConfig(
+        n_coarse=8, n_fine=4, n_fine_depth=0, sampling_mode="occupancy",
+        occ_pool=2, occ_probes=0, occ_dilate=0,
+        field=NerfFieldConfig(d_latent=4, d_embed=4, d_hidden=16, n_blocks=2,
+                              combine_layer=1,
+                              coord_bounds=(0, 0, 0, 1, 1, 1)))
+    r = NeuralRenderer(cfg)
+    params = r.init_params(jax.random.key(0))
+    params["params"]["mlp_coarse"]["lin_out_bias"] = (
+        params["params"]["mlp_coarse"]["lin_out_bias"].at[3].set(1.0))
+    vox = jax.random.normal(jax.random.key(1), (1, 8, 8, 8, 4))
+    # occupied z-slab: canonical z in [0.25, 0.5]
+    occ = r.prepare_occupancy(jnp.zeros((8, 8, 8)).at[:, :, 2:4].set(1.0))
+    rays = jnp.tile(jnp.asarray([[0.5, 0.5, 2.0, 0.0, 0.0, -1.0, 0.1, 4.0]]),
+                    (8, 1))
+    out = r.render_rays(params, vox, rays, jax.random.key(2), occ=occ)
+    f = out["fine"]
+    assert np.isfinite(np.asarray(f.rgb)).all()
+    # all compositing mass sits at t in [2.0-0.5, 2.0-0.25] = [1.5, 1.75]
+    w = np.asarray(f.weights)
+    assert w.sum() > 0
