@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--panels-dir", default=None,
                     help="save per-backend render panels here")
+    ap.add_argument("--variants", default=None,
+                    help="comma list to restrict backends (e.g. "
+                         "xla_fp32,xla_bf16 for CPU smoke runs — the "
+                         "fused pallas backends need the TPU)")
     args = ap.parse_args()
 
     import jax
@@ -118,7 +122,13 @@ def main():
         variant("occ_int8_compact", compute_dtype="bfloat16",
                 mlp_backend="pallas_int8", sampling_mode="occupancy",
                 n_coarse=24, n_fine=16, n_fine_depth=0),
+        variant("occ_tighten_int8", compute_dtype="bfloat16",
+                mlp_backend="pallas_int8", sampling_mode="occupancy",
+                occ_probes=0, n_coarse=24, n_fine=16, n_fine_depth=0),
     ]
+    if args.variants:
+        keep = set(args.variants.split(","))
+        variants = [v for v in variants if v[0] in keep]
 
     results = {"step": int(state.step)}
     ref_img = None
