@@ -28,7 +28,8 @@ REFERENCE_RAYS_PER_SEC = 1.0e5  # documented estimate, see module docstring
 
 def _setup():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from real_robot_nerf_actor_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return jax
 

@@ -16,6 +16,9 @@ def main():
     ap.add_argument("--out", default=None, help="save render panels here")
     args = ap.parse_args()
 
+    from real_robot_nerf_actor_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -54,7 +54,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from real_robot_nerf_actor_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from real_robot_nerf_actor_tpu.data.replay import ReplaySource, pad_point_cloud
     from real_robot_nerf_actor_tpu.eval.metrics import psnr_np

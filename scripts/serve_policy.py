@@ -14,6 +14,9 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args()
 
+    from real_robot_nerf_actor_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import numpy as np
     import jax
     from real_robot_nerf_actor_tpu.data.replay import ReplayRobotIO

@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--log-dir", default=None)
     args = ap.parse_args()
 
+    from real_robot_nerf_actor_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import dataclasses
     import tempfile
     from real_robot_nerf_actor_tpu.data.scene_dataset import (

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
+    from real_robot_nerf_actor_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import dataclasses
     from real_robot_nerf_actor_tpu.train import PerActConfig, PerActTrainer
     from real_robot_nerf_actor_tpu.utils.config import load_config

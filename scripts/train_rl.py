@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--log-dir", default=None)
     args = ap.parse_args()
 
+    from real_robot_nerf_actor_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import numpy as np
     from real_robot_nerf_actor_tpu.envs import make_env
     from real_robot_nerf_actor_tpu.rl import (
