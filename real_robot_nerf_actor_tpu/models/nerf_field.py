@@ -65,6 +65,16 @@ class NerfFieldConfig:
     # — ops/resnetfc_pallas.py) with W8A8 int8 or bf16 block matmuls.
     # Forward/serving only; training and non-compact paths use XLA.
     mlp_backend: str = "xla"  # "xla" | "pallas_int8" | "pallas_bf16"
+    # hard-zero sigma for points outside coord_bounds (instant-NGP-style
+    # bounded domain). The reference field (models_embed.py) is unbounded:
+    # grid_sample clamps the latent, so a trained field can paint density
+    # BEYOND the voxel grid from clamped latents + raw position. That
+    # out-of-box density breaks occupancy-based sample compaction (the
+    # occupied-AABB tighten assumes all density is in-box — measured on the
+    # round-3 flagship: GT surface at the box's far side, ~80% of ray
+    # opacity past the exit, occ renders black). Off by default for
+    # reference parity; the flagship nerfact config enables it.
+    mask_outside: bool = False
 
     @property
     def d_in(self) -> int:
@@ -132,6 +142,14 @@ class VoxelNerfField(nn.Module):
         sb, b, _ = xyz.shape
         canon = self.world_to_canonical(xyz)
         canon = jax.lax.stop_gradient(canon)
+        if c.mask_outside:
+            _inb = jnp.all((canon >= 0.0) & (canon <= 1.0), axis=-1)
+
+            def _mask(s):
+                return jnp.where(_inb, s, 0.0)
+        else:
+            def _mask(s):
+                return s
 
         proposal_pass = coarse and c.use_proposal
 
@@ -160,7 +178,7 @@ class VoxelNerfField(nn.Module):
             out = out.reshape(sb, b, 4)
             return {
                 "rgb": jax.nn.sigmoid(out[..., :3].astype(jnp.float32)),
-                "sigma": jax.nn.relu(out[..., 3].astype(jnp.float32)),
+                "sigma": _mask(jax.nn.relu(out[..., 3].astype(jnp.float32))),
                 "embed": jnp.zeros((sb, b, c.d_embed), out.dtype),
             }
         mlp = self.mlp_coarse if (coarse or self.share_mlp) else self.mlp_fine
@@ -175,7 +193,7 @@ class VoxelNerfField(nn.Module):
             out = out.reshape(sb, b, 4)
             return {
                 "rgb": jax.nn.sigmoid(out[..., :3].astype(jnp.float32)),
-                "sigma": jax.nn.relu(out[..., 3].astype(jnp.float32)),
+                "sigma": _mask(jax.nn.relu(out[..., 3].astype(jnp.float32))),
                 "hidden": jax.nn.relu(last).reshape(sb, b, -1),
             }
         out, last = mlp(mlp_in, ret_last_feat=False)
@@ -185,7 +203,7 @@ class VoxelNerfField(nn.Module):
             # rgb/sigma in fp32 (compositing statistics); the wide embed
             # channel stays in the MLP compute dtype to halve HBM traffic
             "rgb": jax.nn.sigmoid(out[..., :3].astype(jnp.float32)),
-            "sigma": jax.nn.relu(out[..., 3].astype(jnp.float32)),
+            "sigma": _mask(jax.nn.relu(out[..., 3].astype(jnp.float32))),
         }
         rest = out[..., 4:]
         if c.regress_coord and c.regress_attention:

@@ -85,7 +85,22 @@ def main():
                        tr.bounds, c.voxelizer,
                        valid=jnp.asarray(valid)[None])
         lang = jnp.zeros((1, c.model.lang_max_seq_len, c.model.lang_emb_dim))
-        proprio = jnp.zeros((1, c.model.low_dim_size))
+        # condition exactly like the replay_data train step (peract.py
+        # proprio = [current-keyframe voxel index, discretized rot_grip]):
+        # a zero proprio is a latent grid the checkpoint never saw
+        from real_robot_nerf_actor_tpu.ops.geometry import (
+            point_to_voxel_index)
+        demo = src.demos[d]
+        dd = discretize_action(
+            jnp.asarray(demo.xyz[k:k + 1]),
+            jnp.asarray(demo.rotation[k:k + 1]),
+            jnp.asarray(demo.gripper_open[k:k + 1]), jnp.ones((1,)),
+            tr.bounds, c.model.voxel_size, c.rotation_resolution)
+        trans_idx = point_to_voxel_index(
+            jnp.asarray(demo.xyz[k:k + 1]), c.model.voxel_size, tr.bounds)
+        proprio = jnp.concatenate(
+            [trans_idx.astype(jnp.float32),
+             dd.rot_grip.astype(jnp.float32)], axis=-1)
         out, _ = tr._forward(state.params["policy"], state.extra, vox,
                              proprio, lang, train=False)
         return vox, out
@@ -126,6 +141,14 @@ def main():
         variant("occ_tighten_int8", compute_dtype="bfloat16",
                 mlp_backend="pallas_int8", sampling_mode="occupancy",
                 occ_probes=0, n_coarse=24, n_fine=16, n_fine_depth=0),
+        # field-derived occupancy (sigma-probed, occ_source='field'):
+        # self-consistent with the geometry the field actually learned
+        variant("occfield_bf16", compute_dtype="bfloat16",
+                mlp_backend="pallas_bf16", sampling_mode="occupancy",
+                occ_source="field"),
+        variant("occfield_int8_compact", compute_dtype="bfloat16",
+                mlp_backend="pallas_int8", sampling_mode="occupancy",
+                occ_source="field", n_coarse=24, n_fine=16, n_fine_depth=0),
     ]
     if args.variants:
         keep = set(args.variants.split(","))
@@ -134,8 +157,13 @@ def main():
     results = {"step": int(state.step)}
     ref_img = None
     for name, rend in variants:
-        occ = (rend.prepare_occupancy(occ_channel)
-               if rend.cfg.sampling_mode == "occupancy" else None)
+        occ = None
+        if rend.cfg.sampling_mode == "occupancy":
+            if rend.cfg.occ_source == "field":
+                occ = rend.prepare_occupancy_from_field(
+                    {"params": state.params["nerf"]}, voxel_feat[:1])
+            else:
+                occ = rend.prepare_occupancy(occ_channel)
         rgb, embed, depth = rend.render_image(
             {"params": state.params["nerf"]}, voxel_feat[:1], pose, focal,
             jax.random.key(7), occ=occ)

@@ -52,6 +52,38 @@ def test_voxel_nerf_field():
     assert (np.asarray(out["sigma"]) >= 0).all()
 
 
+def test_voxel_nerf_field_mask_outside():
+    """mask_outside=True: sigma is hard-zero for out-of-box points and
+    IDENTICAL to the unmasked field for in-box points (rgb/embed are
+    untouched either way)."""
+    import dataclasses
+    cfg = NerfFieldConfig(d_latent=8, d_embed=16, d_hidden=32, n_blocks=3,
+                          coord_bounds=(0., 0., 0., 1., 1., 1.))
+    field = VoxelNerfField(cfg)
+    field_m = VoxelNerfField(dataclasses.replace(cfg, mask_outside=True))
+    vox = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 6, 6, 6, 8)),
+        jnp.float32)
+    xyz_in = jax.random.uniform(jax.random.key(1), (1, 40, 3),
+                                minval=0.01, maxval=0.99)
+    xyz_out = xyz_in + jnp.asarray([2.0, 0.0, 0.0])   # past the box
+    xyz = jnp.concatenate([xyz_in, xyz_out], axis=1)
+    dirs = jax.random.normal(jax.random.key(2), (1, 80, 3))
+    params = field.init(jax.random.key(0), vox, xyz, dirs)
+    # bias the sigma head so the unmasked field is nonzero everywhere
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    params["params"]["mlp_coarse"]["lin_out_bias"] = (
+        params["params"]["mlp_coarse"]["lin_out_bias"].at[3].set(2.0))
+    raw = field.apply(params, vox, xyz, dirs)
+    msk = field_m.apply(params, vox, xyz, dirs)
+    assert np.asarray(raw["sigma"][0, 40:]).min() > 0.0
+    np.testing.assert_array_equal(np.asarray(msk["sigma"][0, 40:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(msk["sigma"][0, :40]),
+                                  np.asarray(raw["sigma"][0, :40]))
+    np.testing.assert_array_equal(np.asarray(msk["rgb"]),
+                                  np.asarray(raw["rgb"]))
+
+
 def _tiny_perceiver(**kw):
     return PerceiverConfig(
         depth=1, voxel_size=10, num_latents=16, latent_dim=32,
@@ -135,3 +167,21 @@ def test_quantized_resnetfc_same_tree_and_close_outputs():
     b, _ = mlp_q.apply(params, zx)
     err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-8))
     assert err < 0.05, err
+
+
+def test_quantized_resnetfc_fails_fast_under_grad():
+    """Differentiating a quantized ResnetFC raises instead of training
+    silently with jnp.round's zero gradient (ADVICE r2)."""
+    import pytest
+    from real_robot_nerf_actor_tpu.models.resnetfc import ResnetFC
+    mlp_q = ResnetFC(d_out=4, n_blocks=2, d_latent=8, d_hidden=32,
+                     combine_layer=1, quantized=True)
+    zx = jax.random.normal(jax.random.key(0), (8, 13))
+    params = mlp_q.init(jax.random.key(1), zx)
+
+    def loss(p):
+        out, _ = mlp_q.apply(p, zx)
+        return jnp.sum(out ** 2)
+
+    with pytest.raises(NotImplementedError, match="serving-only"):
+        jax.grad(loss)(params)

@@ -190,3 +190,43 @@ def test_renderer_tighten_only_mode():
     # all compositing mass sits at t in [2.0-0.5, 2.0-0.25] = [1.5, 1.75]
     w = np.asarray(f.weights)
     assert w.sum() > 0
+
+
+def test_prepare_occupancy_from_field():
+    """Field-derived occupancy (occ_source='field'): a constant-density
+    field marks everything occupied above threshold and nothing below; on
+    a random field, raising occ_alpha_thresh only ever REMOVES cells."""
+    import dataclasses
+    from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
+    from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
+
+    field = NerfFieldConfig(d_latent=4, d_embed=4, d_hidden=16, n_blocks=2,
+                            combine_layer=1, coord_bounds=(0, 0, 0, 1, 1, 1))
+    cfg = RendererConfig(occ_pool=2, occ_dilate=0, occ_field_probes=2,
+                         occ_alpha_thresh=0.01, field=field)
+    r = NeuralRenderer(cfg)
+    params = r.init_params(jax.random.key(0))
+    params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    vox = jnp.zeros((1, 8, 8, 8, 4))
+
+    # sigma == relu(bias): high bias -> alpha over a cell >> thresh
+    hot = jax.tree_util.tree_map(lambda x: x, params)
+    hot["params"]["mlp_coarse"]["lin_out_bias"] = (
+        hot["params"]["mlp_coarse"]["lin_out_bias"].at[3].set(5.0))
+    occ = r.prepare_occupancy_from_field(hot, vox)
+    assert occ.pooled.shape == (4, 4, 4)
+    assert float(occ.pooled.min()) == 1.0
+    np.testing.assert_allclose(np.asarray(occ.aabb), [[0, 0, 0], [1, 1, 1]])
+
+    # zero bias -> sigma 0 -> empty grid, aabb degrades to the full box
+    occ0 = r.prepare_occupancy_from_field(params, vox)
+    assert float(occ0.pooled.max()) == 0.0
+    np.testing.assert_allclose(np.asarray(occ0.aabb), [[0, 0, 0], [1, 1, 1]])
+
+    # random field: occupancy is monotone non-increasing in the threshold
+    rnd = NeuralRenderer(cfg).init_params(jax.random.key(3))
+    vox_r = jax.random.normal(jax.random.key(4), (1, 8, 8, 8, 4)) * 2.0
+    lo = r.prepare_occupancy_from_field(rnd, vox_r)
+    r_hi = NeuralRenderer(dataclasses.replace(cfg, occ_alpha_thresh=0.5))
+    hi = r_hi.prepare_occupancy_from_field(rnd, vox_r)
+    assert np.all(np.asarray(hi.pooled) <= np.asarray(lo.pooled))
