@@ -16,10 +16,34 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+@jax.custom_vjp
+def _serving_only(y):
+    return y
+
+
+def _serving_only_fwd(y):
+    return y, None
+
+
+def _serving_only_bwd(_, g):
+    # fail fast instead of training silently with the zero gradient of
+    # jnp.round (ADVICE r2): a quantized ResnetFC must never be
+    # differentiated — train with quantized=False, serve the same
+    # checkpoint quantized
+    raise NotImplementedError(
+        "QuantDense (quantized=True) is serving-only: int8 rounding has "
+        "zero gradient, so training would silently not learn. Train with "
+        "quantized=False and serve the same checkpoint with the flag on.")
+
+
+_serving_only.defvjp(_serving_only_fwd, _serving_only_bwd)
 
 
 class QuantDense(nn.Module):
@@ -44,7 +68,7 @@ class QuantDense(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)
-        return y.reshape(*shp[:-1], self.features)
+        return _serving_only(y.reshape(*shp[:-1], self.features))
 
 
 class ResnetBlockFC(nn.Module):
