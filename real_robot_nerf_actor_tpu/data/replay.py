@@ -48,9 +48,21 @@ def load_rgb_pcd(pcd_path: str, cam2base: np.ndarray,
 
 def pad_point_cloud(sample: PointCloudSample, max_num_coords: int
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Pad/truncate to a static size; returns (points, colors, valid_mask)."""
+    """Pad/truncate to a static size; returns (points, colors, valid_mask).
+
+    Device arrays pass through in-namespace: a pre-padded device-resident
+    cloud (the serving fast path) costs ZERO host work and zero
+    host->device transfer here — a fresh np.ones(220k) mask would ship
+    220 KB over the link every control step."""
     n = sample.points.shape[0]
     if n >= max_num_coords:
+        if not isinstance(sample.points, np.ndarray):
+            import jax.numpy as jnp
+            pts = sample.points if n == max_num_coords \
+                else sample.points[:max_num_coords]
+            cols = sample.colors if n == max_num_coords \
+                else sample.colors[:max_num_coords]
+            return pts, cols, jnp.ones(max_num_coords, bool)
         return (sample.points[:max_num_coords], sample.colors[:max_num_coords],
                 np.ones(max_num_coords, bool))
     pad = max_num_coords - n

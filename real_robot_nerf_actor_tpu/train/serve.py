@@ -74,10 +74,21 @@ class PolicyServer:
                                        self.bounds)
             rot_deg = ((rot_grip[:, :3].astype(jnp.float32) + 1.0)
                        * cfg.rotation_resolution - 180.0)
-            return xyz, rot_deg, rot_grip[:, 3], coll[:, 0]
+            # ONE packed (B, 8) row [xyz, rot_deg, grip, coll]: the action
+            # crosses host<->device as a single array, so a served step is
+            # exactly one dispatch + one result fetch (four separate
+            # fetches cost four round trips on a high-latency link)
+            return jnp.concatenate(
+                [xyz, rot_deg, rot_grip[:, 3:4].astype(jnp.float32),
+                 coll[:, :1].astype(jnp.float32)], axis=-1)
 
         self._step = _step
-        self._act = jax.jit(_step)
+        # act() path: batching happens INSIDE the jit so a served step is
+        # one program dispatch with no per-input reshape dispatches
+        self._act = jax.jit(
+            lambda v, p, c, vl, px, pr, pg, lang: _step(
+                v, p[None], c[None], vl[None], px[None], pr[None],
+                pg[None], lang)[0])
 
         @jax.jit
         def _act_scan(variables, points, colors, valid, prop_xyz, prop_rot,
@@ -87,7 +98,7 @@ class PolicyServer:
                 p, c, v, px, pr, pg = obs
                 out = _step(variables, p[None], c[None], v[None], px[None],
                             pr[None], pg[None], lang)
-                return (), tuple(o[0] for o in out)
+                return (), out[0]
 
             _, outs = jax.lax.scan(
                 body, (), (points, colors, valid, prop_xyz, prop_rot,
@@ -102,14 +113,12 @@ class PolicyServer:
         """One control step, ONE device dispatch.
         -> (continuous xyz (3,), rotation deg (3,), gripper_open, collision).
         """
-        xyz, rot_deg, grip, coll = self._act(
-            self.variables, jnp.asarray(points)[None],
-            jnp.asarray(colors)[None], jnp.asarray(valid)[None],
-            jnp.asarray(proprio_xyz, jnp.float32)[None],
-            jnp.asarray(proprio_rot, jnp.float32)[None],
-            jnp.asarray([proprio_grip], jnp.float32), self.lang)
-        return (np.asarray(xyz)[0], np.asarray(rot_deg)[0],
-                int(np.asarray(grip)[0]), int(np.asarray(coll)[0]))
+        packed = np.asarray(self._act(
+            self.variables, points, colors, valid,
+            np.asarray(proprio_xyz, np.float32),
+            np.asarray(proprio_rot, np.float32),
+            np.float32(proprio_grip), self.lang))
+        return (packed[:3], packed[3:6], int(packed[6]), int(packed[7]))
 
 
 def run_deployment(server: PolicyServer, robot: RobotIO,
@@ -157,13 +166,13 @@ def run_deployment_scan(server: PolicyServer, steps: Sequence[ReplayStep],
         pxyz.append(np.asarray(s.proprio_xyz, np.float32))
         prot.append(np.asarray(s.proprio_rot, np.float32))
         pgrip.append(np.float32(s.proprio_grip))
-    xyz, rot_deg, grip, coll = server._act_scan(
+    packed = np.asarray(server._act_scan(
         server.variables, jnp.asarray(np.stack(pts)),
         jnp.asarray(np.stack(cols)), jnp.asarray(np.stack(valid)),
         jnp.asarray(np.stack(pxyz)), jnp.asarray(np.stack(prot)),
-        jnp.asarray(np.stack(pgrip)), server.lang)
-    xyz, rot_deg = np.asarray(xyz), np.asarray(rot_deg)
-    grip, coll = np.asarray(grip), np.asarray(coll)
+        jnp.asarray(np.stack(pgrip)), server.lang))   # (T, 8), one fetch
+    xyz, rot_deg = packed[:, :3], packed[:, 3:6]
+    grip, coll = packed[:, 6], packed[:, 7]
     trace = []
     for t in range(len(steps)):
         action = {"step": t, "xyz": xyz[t], "rotation": rot_deg[t],
