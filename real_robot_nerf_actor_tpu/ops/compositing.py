@@ -6,8 +6,11 @@ Reference behavior: /root/reference/neural_rendering.py:224-396 (composite):
   (1 - alpha + 1e-10), weights = alpha * T, then weighted sums for rgb /
   embed / depth.
 
-TPU design: fully vectorized over (rays, samples); the cumprod is a small
-log-space scan XLA handles natively. The model evaluation is done by the
+TPU design: fully vectorized over (rays, samples); transmittance is an
+exclusive cumsum of the optical depth x = delta * relu(sigma) in log
+space — exactly the reference's cumprod of (1 - alpha) but without its
++1e-10 guard, whose backward is a ~300x gradient cliff once fp32 rounds
+a saturated alpha to 1.0 (x > 17.3). The model evaluation is done by the
 caller in one batched MLP pass (no point-chunk loop).
 """
 from __future__ import annotations
@@ -27,16 +30,27 @@ class CompositeOut(NamedTuple):
 
 def compute_weights(z_sorted: jnp.ndarray, sigmas_sorted: jnp.ndarray,
                     rays: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample compositing weights from SORTED depths + matching sigmas."""
+    """Per-sample compositing weights from SORTED depths + matching sigmas.
+
+    Transmittance is computed in log space from the optical depth x
+    directly: T_i = exp(-sum_{j<i} x_j) with x = delta * relu(sigma).
+    This is EXACTLY prod(1 - alpha_j) (log(1 - alpha) == -x identically),
+    but unlike the textbook cumprod(1 - alpha + 1e-10) it has no
+    saturation cliff: once x > ~17.3, fp32 rounds alpha to exactly 1.0
+    and the eps-guarded backward -1/(1-alpha+eps) * d(alpha)/d(sigma)
+    amplifies the true gradient by up to ~300x (and produced a NaN in
+    the fused TPU backward at x=18.9 — the round-3 flagship divergence
+    at step 3547). d(-x)/d(sigma) = -delta is exact and bounded.
+    """
     deltas = z_sorted[:, 1:] - z_sorted[:, :-1]
     delta_inf = rays[:, -1:] - z_sorted[:, -1:]
     deltas = jnp.concatenate([deltas, delta_inf], axis=-1)  # (B, K)
 
-    alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigmas_sorted))
-    alphas_shifted = jnp.concatenate(
-        [jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-10], axis=-1)
-    transmittance = jnp.cumprod(alphas_shifted, axis=-1)  # (B, K+1)
-    return alphas * transmittance[:, :-1]
+    x = deltas * jax.nn.relu(sigmas_sorted)
+    alphas = 1.0 - jnp.exp(-x)
+    # exclusive cumsum: optical depth of strict predecessors
+    log_t = jnp.cumsum(x, axis=-1) - x
+    return alphas * jnp.exp(-log_t)
 
 
 def composite(z_samp: jnp.ndarray, rays: jnp.ndarray, rgbs: jnp.ndarray,
@@ -73,11 +87,18 @@ def compute_weights_unsorted(z_samp: jnp.ndarray, sigmas: jnp.ndarray,
     TPU gathers cost ~11 ns per row even for scalars, so applying an
     argsort permutation to (rays, K) arrays costs tens of ms. Instead:
       delta_i = (depth of i's sorted successor) - z_i  -> a masked min
-      T_i     = prod over sorted predecessors of (1 - alpha_j + eps)
-              = exp( M @ log(1 - alpha + eps) )        -> a masked matmul
+      T_i     = prod over sorted predecessors of (1 - alpha_j)
+              = exp( -M @ x ),  x_j = delta_j * relu(sigma_j)  -> a masked
+                                                                  matmul
     with the predecessor mask M_ij = [z_j < z_i or (z_j == z_i and j < i)]
     (ties broken by index = stable-argsort semantics). Exact same weights
     as sorting; two fused (B, K, K) ops instead of three scalar gathers.
+
+    The log-transmittance is the optical depth -x directly (exactly
+    log(1 - alpha)); see compute_weights for why the eps-guarded
+    log(1 - alpha + 1e-10) form is a gradient cliff once fp32 rounds a
+    saturated alpha to 1.0 (the round-3 flagship NaN at step 3547 came
+    from THIS path's backward at x = 18.9).
     """
     b, k = z_samp.shape
     idx = jnp.arange(k)
@@ -90,11 +111,11 @@ def compute_weights_unsorted(z_samp: jnp.ndarray, sigmas: jnp.ndarray,
     succ_z = jnp.min(jnp.where(after, zj, big), axis=-1)
     deltas = succ_z - z_samp
 
-    alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigmas))
-    log_t = jnp.log(1.0 - alphas + 1e-10)
-    # T_i = exp(sum over predecessors of log(1 - alpha_j))
-    transmittance = jnp.exp(jnp.einsum(
-        "bij,bj->bi", before.astype(log_t.dtype), log_t))
+    x = deltas * jax.nn.relu(sigmas)
+    alphas = 1.0 - jnp.exp(-x)
+    # T_i = exp(-sum over predecessors of x_j)
+    transmittance = jnp.exp(-jnp.einsum(
+        "bij,bj->bi", before.astype(x.dtype), x))
     return alphas * transmittance
 
 

@@ -195,3 +195,44 @@ def test_late_embed_matches_per_sample():
             np.testing.assert_allclose(
                 np.asarray(a[lvl].rgb), np.asarray(b[lvl].rgb),
                 rtol=1e-5, atol=1e-6)
+
+
+def test_compositing_grads_finite_at_saturation():
+    """Gradient regression for the round-3 flagship NaN (step 3547): with
+    optical depth x = delta * relu(sigma) > ~17.3, fp32 rounds alpha to
+    exactly 1.0 and the old cumprod/log(1 - alpha + 1e-10) backward blew
+    up (~300x amplification; NaN in the fused TPU backward at x = 18.9).
+    The exact log-space form (log T = -cumsum x) must stay finite AND
+    match the true analytic gradient for arbitrarily saturated sigmas."""
+    from real_robot_nerf_actor_tpu.ops.compositing import (
+        compute_weights, compute_weights_unsorted, composite_unsorted)
+    b, k = 4, 16
+    rays = _rays(b)
+    rng = np.random.default_rng(0)
+    z = jnp.sort(jnp.asarray(rng.uniform(1.2, 4.0, (b, k)), jnp.float32), -1)
+    # saturated densities: x = delta * sigma spans the fp32 alpha==1 cliff
+    sig = jnp.asarray(rng.uniform(0.0, 3000.0, (b, k)), jnp.float32)
+
+    for fn in (lambda s: jnp.sum(compute_weights(z, s, rays) * z),
+               lambda s: jnp.sum(compute_weights_unsorted(z, s, rays) * z)):
+        g = jax.grad(fn)(sig)
+        assert bool(jnp.isfinite(g).all()), fn
+        # analytic check on one coordinate via fp64 central difference
+        i, j = 1, 5
+        eps = 1e-3
+        gp = fn(sig.at[i, j].add(eps))
+        gm = fn(sig.at[i, j].add(-eps))
+        fd = (float(gp) - float(gm)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i, j]), fd, rtol=5e-2, atol=1e-5)
+
+    # full composite backward (the training path) also finite
+    rgbs = jnp.asarray(rng.uniform(0, 1, (b, k, 3)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((b, k, 4)), jnp.float32)
+
+    def loss(s):
+        out = composite_unsorted(z, rays, rgbs, s, emb)
+        return (jnp.sum(out.rgb ** 2) + jnp.sum(out.depth ** 2)
+                + jnp.sum(out.embed ** 2))
+
+    g = jax.grad(loss)(sig)
+    assert bool(jnp.isfinite(g).all())
