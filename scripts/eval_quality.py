@@ -191,6 +191,7 @@ def main():
 
     # ------------------------------------------------------- BC decoding
     n_match, n_tot, dists, rot_ok, grip_ok = 0, 0, [], 0, 0
+    rot_near_ok = 0
     for d in range(args.n_demos):
         for k in range(src.num_keyframes(d) - 1):
             _, o = features_for(d, k)
@@ -208,6 +209,13 @@ def main():
             rg_got = np.asarray(rot_grip[0])
             rg_exp = np.asarray(want.rot_grip[0])
             rot_ok += int((rg_got[:3] == rg_exp[:3]).all())
+            # +-1-bin tolerance (5 deg bins; continuous GT angles sit
+            # arbitrarily close to bin edges, so exact-bin is a coin flip
+            # even for a well-placed prediction)
+            nrc = int(o[1].shape[-1] - 2) // 3
+            dbin = np.abs(rg_got[:3] - rg_exp[:3])
+            dbin = np.minimum(dbin, nrc - dbin)          # circular
+            rot_near_ok += int((dbin <= 1).all())
             grip_ok += int(rg_got[3] == rg_exp[3])
             n_tot += 1
     results["bc"] = {
@@ -215,6 +223,7 @@ def main():
         "trans_exact_match": round(n_match / n_tot, 4),
         "trans_mean_voxel_dist": round(float(np.mean(dists)), 3),
         "rot_exact_match": round(rot_ok / n_tot, 4),
+        "rot_within_1bin": round(rot_near_ok / n_tot, 4),
         "grip_match": round(grip_ok / n_tot, 4),
     }
     print("[quality] BC decode:", results["bc"])
