@@ -63,10 +63,19 @@ def write_kitchen_demos(out: str, n_demos: int = 5, n_keyframes: int = 5,
            else center + np.array([0.9, -0.75, 0.85]))
     pose_gl = _look_at(eye.astype(np.float32), center.astype(np.float32))
     cam2base_cv = pose_gl.astype(np.float64) @ GL2CV
+    # held-out camera: a second raytraced view NEVER used by the rendering
+    # loss, for novel-view eval (the reference evaluates held-out views in
+    # featurenerf/eval/eval_novel.py; its real-robot stack never does —
+    # this closes that gap). Rotated ~35 deg about the scene center at the
+    # same range so the working band stays inside [z_near, z_far].
+    eye_h = center + np.array([-0.35, -1.05, 0.9])
+    holdout_pose = _look_at(eye_h.astype(np.float32),
+                            center.astype(np.float32))
 
     calib = {
         "cam2base": cam2base_cv.tolist(),
         "gt_pose": pose_gl.astype(np.float64).tolist(),
+        "holdout_pose": holdout_pose.astype(np.float64).tolist(),
         "focal": float(focal),
         "image_hw": [int(h), int(w)],
         "embed_dim": int(d_embed) if write_embeds else 0,
@@ -99,6 +108,11 @@ def write_kitchen_demos(out: str, n_demos: int = 5, n_keyframes: int = 5,
             img = Image.fromarray(
                 np.clip(rgb[0] * 255.0 + 0.5, 0, 255).astype(np.uint8))
             img.save(os.path.join(ddir, f"rgb{k}.png"))
+            rgb_h, _, _, _ = raytrace_views(
+                scene, holdout_pose[None], h, w, focal, extra_boxes=gripper)
+            Image.fromarray(
+                np.clip(rgb_h[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            ).save(os.path.join(ddir, f"holdout{k}.png"))
             if write_depth:
                 np.save(os.path.join(ddir, f"depth{k}.npy"),
                         depth[0].astype(np.float16))

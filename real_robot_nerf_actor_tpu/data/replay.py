@@ -22,10 +22,18 @@ from real_robot_nerf_actor_tpu.data.ply import read_ply
 
 @dataclasses.dataclass
 class PointCloudSample:
-    """One observation: points in robot-base frame + normalized colors."""
+    """One observation: points in robot-base frame + normalized colors.
+
+    `valid` marks real rows in a pre-padded cloud (False = padding).
+    None means every row is a real point — a pre-padded device-resident
+    cloud (the serving fast path) MUST either carry its mask here or hold
+    exactly max_num_coords real points: zero-pad rows land at the origin,
+    which is inside the kitchen coord_bounds, and would voxelize into a
+    phantom occupied cell."""
 
     points: np.ndarray  # (N, 3) float32, metres, base frame
     colors: np.ndarray  # (N, 3) float32 in [-1, 1] (reference normalization)
+    valid: Optional[np.ndarray] = None  # (N,) bool, real-point mask
 
 
 def load_rgb_pcd(pcd_path: str, cam2base: np.ndarray,
@@ -62,13 +70,27 @@ def pad_point_cloud(sample: PointCloudSample, max_num_coords: int
                 else sample.points[:max_num_coords]
             cols = sample.colors if n == max_num_coords \
                 else sample.colors[:max_num_coords]
-            return pts, cols, jnp.ones(max_num_coords, bool)
+            if sample.valid is not None:
+                valid = (sample.valid if n == max_num_coords
+                         else sample.valid[:max_num_coords])
+            else:
+                # no mask supplied: every row is declared real (see
+                # PointCloudSample.valid — pre-padded clouds must carry
+                # their mask or phantom origin points get voxelized)
+                valid = jnp.ones(max_num_coords, bool)
+            return pts, cols, valid
+        if sample.valid is not None:
+            return (sample.points[:max_num_coords],
+                    sample.colors[:max_num_coords],
+                    np.asarray(sample.valid[:max_num_coords], bool))
         return (sample.points[:max_num_coords], sample.colors[:max_num_coords],
                 np.ones(max_num_coords, bool))
     pad = max_num_coords - n
     pts = np.concatenate([sample.points, np.zeros((pad, 3), np.float32)])
     cols = np.concatenate([sample.colors, np.zeros((pad, 3), np.float32)])
-    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    base_valid = (np.asarray(sample.valid, bool) if sample.valid is not None
+                  else np.ones(n, bool))
+    valid = np.concatenate([base_valid, np.zeros(pad, bool)])
     return pts, cols, valid
 
 
@@ -179,6 +201,26 @@ class ReplaySource:
     @property
     def focal(self) -> float:
         return float(self.calibration.get("focal", 76.18))
+
+    @property
+    def has_holdout(self) -> bool:
+        """True when the recording carries a second, never-trained-on view
+        (real{d}/holdout{k}.png + calibration holdout_pose) for novel-view
+        eval — the eval_novel.py analog for the real-robot stack."""
+        return ("holdout_pose" in self.calibration and os.path.exists(
+            os.path.join(self.root, "real0", "holdout0.png")))
+
+    @property
+    def holdout_pose(self) -> np.ndarray:
+        return np.asarray(self.calibration["holdout_pose"], np.float32)
+
+    def holdout_view(self, demo: int, k: int) -> dict:
+        from PIL import Image
+        rgb = np.asarray(
+            Image.open(os.path.join(self.root, f"real{demo}",
+                                    f"holdout{k}.png")).convert("RGB"),
+            np.float32) / 255.0
+        return {"rgb": rgb, "pose": self.holdout_pose, "focal": self.focal}
 
     def view(self, demo: int, k: int) -> dict:
         """GT view for keyframe k: {'rgb' (H,W,3) in [0,1], 'pose' (4,4),

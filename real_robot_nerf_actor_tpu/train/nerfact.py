@@ -156,7 +156,8 @@ class NerfActTrainer(PerActTrainer):
             yield batch
 
     def replay_data(self, root: str, n_demos: int, batch_size: int = 1,
-                    seed: int = 0, lang_embs=None):
+                    seed: int = 0, lang_embs=None,
+                    exclude_demos: Tuple[int, ...] = ()):
         """Joint-training batches from recorded demos (the reference's
         flagship data path, train_nerfact_multi_kitchen.py:1256-1284):
         PerAct fields + per-keyframe GT RGB view/pose/focal
@@ -181,7 +182,8 @@ class NerfActTrainer(PerActTrainer):
                 f"recorded teacher embeds have d={v0['embed'].shape[-1]} "
                 f"but field.d_embed={rc.field.d_embed}")
         return super().replay_data(root, n_demos, batch_size, seed,
-                                   lang_embs, with_views=True)
+                                   lang_embs, with_views=True,
+                                   exclude_demos=exclude_demos)
 
     # ---------------------------------------------------------------- eval
     def render_eval(self, state: TrainState, step: int,
@@ -225,11 +227,137 @@ class NerfActTrainer(PerActTrainer):
                 embed=np.asarray(embed), psnr=p)
         return {"eval_psnr": p, "eval_psnr_fg": p_fg}
 
+    def make_replay_eval(self, root: str, n_demos: int,
+                         exclude_demos: Tuple[int, ...] = (),
+                         save_dir: Optional[str] = None,
+                         eval_batch: Optional[Dict] = None):
+        """Eval closure for flagship training on recorded demos. Per eval:
+
+          - render PSNR on the training GT view (render_eval);
+          - render PSNR on the HELD-OUT view when the recording carries one
+            (a camera the rendering loss never sees — the reference's
+            eval_novel.py analog);
+          - BC argmax decode on every training transition (exact voxel
+            match, mean voxel distance, rot-within-1-bin, grip), and
+            separately on the transitions of exclude_demos (demos held out
+            of training entirely);
+          - bc_score: the checkpoint-selection scalar (TrainConfig.best_key)
+            = train exact-match − mean-voxel-dist/500 (distance breaks ties
+            between equal match rates). The round-3 flagship's best BC
+            checkpoint was discarded by keep-latest retention; this is what
+            <ckpt_dir>_best retains.
+
+        Reference analog: argmax decode of val_real_camera_prev.py:837-856
+        run as a periodic eval (the reference itself never evaluates BC
+        during training — SURVEY §4 names this a gap to fill, not copy).
+        """
+        import jax
+        import numpy as np
+        from real_robot_nerf_actor_tpu.data.replay import (ReplaySource,
+                                                           pad_point_cloud)
+        from real_robot_nerf_actor_tpu.eval.metrics import psnr_np
+        from real_robot_nerf_actor_tpu.ops import (choose_highest_action,
+                                                   discretize_action,
+                                                   voxelize)
+        from real_robot_nerf_actor_tpu.ops.geometry import point_to_voxel_index
+
+        c = self.cfg
+        src = ReplaySource(root, n_demos)
+        lang = jnp.zeros((1, c.model.lang_max_seq_len, c.model.lang_emb_dim))
+
+        # stage every transition once: cloud (device), proprio, expected
+        # discrete action for keyframe k+1
+        transitions = []   # (demo, k, pts, cols, valid, proprio, want)
+        for d in range(n_demos):
+            demo = src.demos[d]
+            nk = demo.num_keyframes
+            dd = discretize_action(
+                jnp.asarray(demo.xyz), jnp.asarray(demo.rotation),
+                jnp.asarray(demo.gripper_open), jnp.ones((nk,)),
+                self.bounds, c.model.voxel_size, c.rotation_resolution)
+            tidx = point_to_voxel_index(jnp.asarray(demo.xyz),
+                                        c.model.voxel_size, self.bounds)
+            rg = np.asarray(dd.rot_grip)
+            ti = np.asarray(tidx)
+            for k in range(nk - 1):
+                pts, cols, valid = pad_point_cloud(
+                    src.pointcloud(d, k), c.voxelizer.max_num_coords)
+                proprio = jnp.asarray(np.concatenate(
+                    [ti[k].astype(np.float32),
+                     rg[k].astype(np.float32)])[None])
+                want = {"trans": ti[k + 1], "rot_grip": rg[k + 1]}
+                transitions.append(
+                    (d, k, jnp.asarray(pts)[None], jnp.asarray(cols)[None],
+                     jnp.asarray(valid)[None], proprio, want))
+
+        nrc = c.model.num_rotation_classes
+
+        @jax.jit
+        def decode(policy_params, extra, pts, cols, valid, proprio):
+            vox = voxelize(pts, cols, self.bounds, c.voxelizer, valid=valid)
+            out, _ = self._forward(policy_params, extra, vox, proprio, lang,
+                                   train=False)
+            coords, rot_grip, _coll = choose_highest_action(
+                out[0], out[1], out[2], c.rotation_resolution)
+            return coords[0], rot_grip[0]
+
+        holdout_view = src.holdout_view(0, 0) if src.has_holdout else None
+        holdout_pose = (jnp.asarray(src.holdout_pose)[None]
+                        if holdout_view is not None else None)
+        focal = jnp.asarray(src.focal)
+
+        def eval_fn(state, step):
+            metrics = self.render_eval(state, step, batch=eval_batch,
+                                       save_dir=save_dir)
+            stats = {True: [0, 0, 0, 0, []], False: [0, 0, 0, 0, []]}
+            for d, k, pts, cols, valid, proprio, want in transitions:
+                got_t, got_rg = decode(state.params["policy"], state.extra,
+                                       pts, cols, valid, proprio)
+                got_t, got_rg = np.asarray(got_t), np.asarray(got_rg)
+                s = stats[d not in exclude_demos]
+                s[0] += 1
+                s[1] += int((got_t == np.asarray(want["trans"])).all())
+                dbin = np.abs(got_rg[:3] - want["rot_grip"][:3])
+                dbin = np.minimum(dbin, nrc - dbin)
+                s[2] += int((dbin <= 1).all())
+                s[3] += int(got_rg[3] == want["rot_grip"][3])
+                s[4].append(float(np.linalg.norm(
+                    got_t - np.asarray(want["trans"]))))
+            n, ex, rot1, grip, dists = stats[True]
+            metrics.update(
+                bc_train_exact=ex / n,
+                bc_train_dist=float(np.mean(dists)),
+                bc_train_rot1=rot1 / n, bc_train_grip=grip / n)
+            metrics["bc_score"] = ex / n - float(np.mean(dists)) / 500.0
+            if stats[False][0]:
+                n2, ex2, rot2, grip2, dists2 = stats[False]
+                metrics.update(
+                    bc_holdout_exact=ex2 / n2,
+                    bc_holdout_dist=float(np.mean(dists2)),
+                    bc_holdout_rot1=rot2 / n2, bc_holdout_grip=grip2 / n2)
+            if holdout_view is not None:
+                d0, k0, pts, cols, valid, proprio, _ = transitions[0]
+                vox = voxelize(pts, cols, self.bounds, c.voxelizer,
+                               valid=valid)
+                out, _ = self._forward(state.params["policy"], state.extra,
+                                       vox, proprio, lang, train=False)
+                rgb, _, _ = self.renderer.render_image(
+                    {"params": state.params["nerf"]}, out[3][:1],
+                    holdout_pose, focal, jax.random.key(step))
+                hv = src.holdout_view(d0, k0)
+                metrics["eval_psnr_holdout"] = psnr_np(
+                    np.asarray(rgb), hv["rgb"])
+            return metrics
+
+        return eval_fn
+
     def make_trainer(self, data: Optional[Iterator] = None,
                      eval_save_dir: Optional[str] = None,
-                     eval_batch: Optional[Dict] = None) -> Trainer:
-        eval_fn = (lambda state, step: self.render_eval(
-            state, step, batch=eval_batch, save_dir=eval_save_dir))
+                     eval_batch: Optional[Dict] = None,
+                     eval_fn=None) -> Trainer:
+        if eval_fn is None:
+            eval_fn = (lambda state, step: self.render_eval(
+                state, step, batch=eval_batch, save_dir=eval_save_dir))
         return Trainer(self.cfg.train, self.train_step,
                        data or self.synthetic_data(), self.init_state,
                        eval_fn=eval_fn)

@@ -237,7 +237,8 @@ class PerActTrainer:
 
     def replay_data(self, root: str, n_demos: int, batch_size: int = 1,
                     seed: int = 0, lang_embs: Optional[np.ndarray] = None,
-                    with_views: bool = False
+                    with_views: bool = False,
+                    exclude_demos: Tuple[int, ...] = ()
                     ) -> Iterator[Dict[str, jnp.ndarray]]:
         """Batches from RECORDED demos in the reference's on-disk layout
         (the --data-root path; reference sampling loop
@@ -249,6 +250,10 @@ class PerActTrainer:
         recording carries them). Everything static is uploaded to the
         device ONCE (clouds ~5 MB, embed maps ~10 MB per view — re-sending
         them every step would dominate the host loop on a remote link).
+
+        exclude_demos holds demo ids OUT of training (leave-one-demo-out
+        evaluation: eval harnesses decode the excluded demo's transitions
+        with a checkpoint that never saw them).
         """
         from real_robot_nerf_actor_tpu.data.replay import ReplaySource
 
@@ -264,17 +269,19 @@ class PerActTrainer:
             np.zeros((c.model.lang_max_seq_len, c.model.lang_emb_dim),
                      np.float32))
 
+        train_demos = [d for d in range(n_demos) if d not in exclude_demos]
+        assert train_demos, "exclude_demos removed every demo"
         clouds = {}   # (d, k) -> (points, colors, valid) device arrays
         views = {}    # (d, k) -> dict of device arrays
-        disc = []     # per demo: (rot_grip (K,4) np, collision (K,1) np)
-        for d in range(n_demos):
+        disc = {}     # per demo: (rot_grip (K,4) np, collision (K,1) np)
+        for d in train_demos:
             demo = src.demos[d]
             nk = demo.num_keyframes
             dd = discretize_action(
                 jnp.asarray(demo.xyz), jnp.asarray(demo.rotation),
                 jnp.asarray(demo.gripper_open), jnp.ones((nk,)),
                 self.bounds, c.model.voxel_size, c.rotation_resolution)
-            disc.append((np.asarray(dd.rot_grip), np.asarray(dd.collision)))
+            disc[d] = (np.asarray(dd.rot_grip), np.asarray(dd.collision))
             for k in range(nk):
                 pts, cols, valid = pad_point_cloud(
                     src.pointcloud(d, k), c.voxelizer.max_num_coords)
@@ -297,7 +304,7 @@ class PerActTrainer:
                                    "lang", "kf_xyz", "rot_grip", "collision")}
             vout: Dict[str, list] = {}
             for _ in range(batch_size):
-                d = int(rng.integers(0, n_demos))
+                d = train_demos[int(rng.integers(0, len(train_demos)))]
                 k = int(rng.integers(0, src.num_keyframes(d) - 1))
                 pts, cols, valid = clouds[(d, k)]
                 rg_all, coll_all = disc[d]

@@ -30,6 +30,14 @@ class OptimConfig:
     name: str = "adamw"
     lr_decay_rate: float = 0.0   # exponential decay per step (0 = constant)
     accum_steps: int = 1         # gradient accumulation (trainlib parity)
+    # cosine decay with linear warmup (the reference's long BC runs use a
+    # constant LR and effectively memorize; decay stabilizes the late BC
+    # decode — round-3 flagship regressed 75%->65% between 9k and 15k
+    # steps at constant LR). schedule='cosine' requires decay_steps.
+    schedule: str = "constant"   # 'constant' | 'cosine'
+    warmup_steps: int = 0
+    decay_steps: int = 0         # cosine horizon (usually num_steps)
+    min_lr_frac: float = 0.05    # final LR = min_lr_frac * lr
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +55,13 @@ class TrainConfig:
     # (jax dispatch is async; the reference's DataLoader(num_workers=8)
     # plays the same role). 0 disables.
     prefetch: int = 2
+    # best-checkpoint selection: when best_key names a metric returned by
+    # eval_fn, the state at the best value (per best_mode) is kept in
+    # <ckpt_dir>_best alongside the rolling latest+backup. The round-3
+    # flagship's best BC checkpoint (75% decode at 9k steps) was silently
+    # discarded by keep-latest retention.
+    best_key: Optional[str] = None
+    best_mode: str = "max"       # 'max' | 'min'
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
 
 
@@ -94,7 +109,14 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
-    if cfg.lr_decay_rate > 0:
+    if cfg.schedule == "cosine":
+        assert cfg.decay_steps > 0, "schedule='cosine' needs decay_steps"
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if cfg.warmup_steps > 0 else cfg.lr,
+            peak_value=cfg.lr, warmup_steps=max(cfg.warmup_steps, 1),
+            decay_steps=cfg.decay_steps,
+            end_value=cfg.min_lr_frac * cfg.lr)
+    elif cfg.lr_decay_rate > 0:
         schedule = optax.exponential_decay(cfg.lr, 1, 1.0 - cfg.lr_decay_rate)
     else:
         schedule = cfg.lr
@@ -164,6 +186,39 @@ class Trainer:
         self.logger = Logger(cfg.log_dir, print_every=cfg.log_every)
         self.ckpt = (CheckpointManager(cfg.ckpt_dir, cfg.max_ckpts_to_keep)
                      if cfg.ckpt_dir else None)
+        self.best_ckpt = (
+            CheckpointManager(cfg.ckpt_dir + "_best", max_to_keep=1)
+            if cfg.ckpt_dir and cfg.best_key else None)
+
+    # ------------------------------------------------------ best tracking
+    def _best_path(self) -> str:
+        return os.path.join(self.cfg.ckpt_dir + "_best", "best.json")
+
+    def _load_best(self) -> Optional[float]:
+        try:
+            import json
+            with open(self._best_path()) as f:
+                return float(json.load(f)["value"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _maybe_save_best(self, state: TrainState, step: int,
+                         metrics: Dict[str, Any]):
+        if self.best_ckpt is None or self.cfg.best_key not in metrics:
+            return
+        val = float(metrics[self.cfg.best_key])
+        prev = self._load_best()
+        better = (prev is None
+                  or (val > prev if self.cfg.best_mode == "max"
+                      else val < prev))
+        if better:
+            import json
+            self.best_ckpt.save(step, state)
+            with open(self._best_path(), "w") as f:
+                json.dump({"key": self.cfg.best_key, "value": val,
+                           "step": step}, f)
+            print(f"[trainer] new best {self.cfg.best_key}={val:.4f} "
+                  f"at step {step}")
 
     def run(self, resume: bool = True) -> TrainState:
         rng = jax.random.key(self.cfg.seed)
@@ -192,6 +247,7 @@ class Trainer:
                 ev = self.eval_fn(state, step + 1)
                 if ev:
                     self.logger.log(ev, step + 1, category="eval")
+                    self._maybe_save_best(state, step + 1, ev)
             if self.ckpt is not None and (step + 1) % self.cfg.ckpt_every == 0:
                 self.ckpt.save(step + 1, state)
         if self.ckpt is not None and int(state.step) % self.cfg.ckpt_every != 0:

@@ -22,6 +22,10 @@ def main():
                          "{d}_xarm_position.txt + real{d}/{pcd,rgb}{k}.* "
                          "(reference layout; scripts/gen_data.py kitchen)")
     ap.add_argument("--n-demos", type=int, default=5)
+    ap.add_argument("--exclude-demos", default="",
+                    help="comma list of demo ids held OUT of training "
+                         "(leave-one-demo-out eval; their BC decode is "
+                         "reported as bc_holdout_* every eval)")
     ap.add_argument("--eval-save-dir", default=None,
                     help="save render panels here every eval interval")
     ap.add_argument("--no-resume", action="store_true")
@@ -45,13 +49,18 @@ def main():
 
     tr = NerfActTrainer(cfg)
     if args.data_root:
-        data = tr.replay_data(args.data_root, args.n_demos, args.batch_size)
+        exclude = tuple(int(x) for x in args.exclude_demos.split(",") if x)
+        data = tr.replay_data(args.data_root, args.n_demos, args.batch_size,
+                              exclude_demos=exclude)
         eval_batch = next(data)  # one fixed batch for the periodic render
+        eval_fn = tr.make_replay_eval(args.data_root, args.n_demos,
+                                      exclude_demos=exclude,
+                                      save_dir=args.eval_save_dir,
+                                      eval_batch=eval_batch)
+        trainer = tr.make_trainer(data, eval_fn=eval_fn)
     else:
         data = tr.synthetic_data(batch_size=args.batch_size)
-        eval_batch = None
-    trainer = tr.make_trainer(data, eval_save_dir=args.eval_save_dir,
-                              eval_batch=eval_batch)
+        trainer = tr.make_trainer(data, eval_save_dir=args.eval_save_dir)
     trainer.run(resume=not args.no_resume)
 
 
