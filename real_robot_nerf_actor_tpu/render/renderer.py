@@ -45,6 +45,21 @@ class OccupancyState(NamedTuple):
     aabb: "jnp.ndarray"     # (2, 3) canonical [lo, hi]
 
 
+class RayPlan(NamedTuple):
+    """Active-ray plan for fixed-camera serving (NeuralRenderer.plan_rays):
+    the frame indices of rays that intersect the occupied AABB, padded to a
+    static capacity. The TPU analog of CUDA renderers' per-ray early
+    termination: there the march loop breaks when transmittance dies; here
+    — where every shape is static — rays that provably composite to pure
+    background (they never enter occupied space, and a mask_outside field
+    has zero density elsewhere) are dropped from the batch ONCE per
+    (scene, camera), before any per-sample work. Plan cost: one tighten
+    pass + one host round trip at serving setup."""
+    idx: "jnp.ndarray"      # (Ra,) int32 flat frame indices; pads = n_total
+    n_active: int           # real hit count (static)
+    n_total: int            # frame ray count (static)
+
+
 def psnr(pred: jnp.ndarray, gt: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
     mse = jnp.mean((pred - gt) ** 2)
     return 20.0 * jnp.log10(max_val / jnp.sqrt(mse + 1e-20))
@@ -174,13 +189,6 @@ class NeuralRenderer:
             # either layout — transposing the wide hidden would cost ~4 ms
             rgbs, sigmas, embeds = self._eval_points_fused_int8(
                 params, voxel_feat, rays, z_samp)
-            if self.cfg.field.mask_outside:
-                # the fused kernels bypass VoxelNerfField.__call__'s
-                # bounded-domain mask; replicate it here (same formula)
-                b = jnp.asarray(self.cfg.field.coord_bounds, pts.dtype)
-                canon = (pts - b[:3]) / (b[3:] - b[:3])
-                inb = jnp.all((canon >= 0.0) & (canon <= 1.0), axis=-1)
-                sigmas = jnp.where(inb, sigmas, 0.0)
         else:
             out = self.field.apply(
                 params, voxel_feat, pts.reshape(1, r * k, 3),
@@ -191,6 +199,16 @@ class NeuralRenderer:
             embeds = out["hidden" if compact else "embed"].reshape(r, k, -1)
         if self.cfg.noise_std > 0.0 and key is not None:
             sigmas = sigmas + jax.random.normal(key, sigmas.shape) * self.cfg.noise_std
+        if self.cfg.field.mask_outside:
+            # bounded domain holds under ALL configs: the fused kernels
+            # bypass VoxelNerfField.__call__'s mask, and density noise
+            # injected above would reintroduce out-of-box sigma even on
+            # the XLA path (which masks inside field.apply) — so the mask
+            # is (re)applied here, after noise (ADVICE r3)
+            b = jnp.asarray(self.cfg.field.coord_bounds, pts.dtype)
+            canon = (pts - b[:3]) / (b[3:] - b[:3])
+            inb = jnp.all((canon >= 0.0) & (canon <= 1.0), axis=-1)
+            sigmas = jnp.where(inb, sigmas, 0.0)
         return rgbs, sigmas, embeds
 
     def _fused_int8_active(self, compact: bool) -> bool:
@@ -296,6 +314,43 @@ class NeuralRenderer:
             out = out._replace(embed=self._project_embed(
                 params, out.embed, out.weights.sum(-1)))
         return out
+
+    def prepare(self, params=None, voxel_feat=None,
+                occupancy: Optional[jnp.ndarray] = None,
+                key=None) -> Optional[OccupancyState]:
+        """Occupancy dispatcher: build the OccupancyState the configured
+        occ_source asks for (callers no longer hard-code a source — a
+        config setting occ_source='field' was silently ignored by callers
+        that called prepare_occupancy unconditionally, ADVICE r3).
+
+        Returns None unless sampling_mode='occupancy'. Sources:
+          - 'voxel': threshold the voxelizer's point-cloud occupancy channel
+          - 'field': probe the trained field's own sigma
+          - 'auto' : the UNION of both. Robust to the two failure modes a
+            single source has: an unmasked / lambda_depth=0 checkpoint (the
+            reference's shipped config, nerfact.conf:51) parks its density
+            off the recorded points, emptying voxel-derived intervals
+            (round-3: occ serving collapsed to PSNR 15.7 on that ckpt);
+            a half-trained field can leave recorded geometry at low sigma,
+            emptying field-derived intervals. The union never tightens
+            away mass that either source says is there.
+        """
+        if self.cfg.sampling_mode != "occupancy":
+            return None
+        src = self.cfg.occ_source
+        if src == "voxel":
+            assert occupancy is not None, "occ_source='voxel' needs the " \
+                "voxelizer occupancy channel"
+            return self.prepare_occupancy(occupancy)
+        if src == "field":
+            return self.prepare_occupancy_from_field(params, voxel_feat, key)
+        assert src == "auto", f"unknown occ_source {src!r}"
+        fld = self.prepare_occupancy_from_field(params, voxel_feat, key)
+        if occupancy is None:
+            return fld
+        vox = self.prepare_occupancy(occupancy)
+        pooled = jnp.maximum(vox.pooled, fld.pooled)
+        return OccupancyState(pooled=pooled, aabb=occupied_aabb(pooled))
 
     def prepare_occupancy(self, occupancy: jnp.ndarray) -> OccupancyState:
         """Derive the per-scene sampling artifacts for
@@ -474,11 +529,46 @@ class NeuralRenderer:
         return out
 
     # ------------------------------------------------------------- full image
+    def plan_rays(self, occ: OccupancyState, tgt_pose, focal,
+                  c_principal=None) -> RayPlan:
+        """Build the active-ray plan for a fixed (scene, camera): rays whose
+        tightened interval is non-empty (they intersect the occupied AABB),
+        padded to a multiple of the tile size. HOST-side (one small device
+        fetch) — run once at serving setup, not per frame.
+
+        Semantics: a culled ray is composited as pure background. With
+        field.mask_outside this is EXACT vs the tightened occupancy mode
+        (its miss rays sample the far plane, far outside coord_bounds,
+        where sigma is hard-zeroed -> weights identically 0); without
+        mask_outside it is the documented occupancy-mode approximation.
+        """
+        import numpy as np
+        cfg = self.cfg
+        h, w = cfg.image_height, cfg.image_width
+        rays = gen_rays(tgt_pose, w, h, focal, cfg.z_near, cfg.z_far,
+                        c=c_principal).reshape(-1, 8)
+        bounds = jnp.asarray(cfg.field.coord_bounds, rays.dtype)
+        t = tighten_rays(rays, occ.aabb, bounds)
+        hit = np.asarray(t[:, 7] > t[:, 6])
+        idx = np.nonzero(hit)[0].astype(np.int32)
+        n = rays.shape[0]
+        n_active = int(idx.size)
+        tile = min(cfg.render_tile, max(n_active, 1))
+        cap = max(((n_active + tile - 1) // tile) * tile, tile)
+        # pads point past the frame: the ray gather clips (harmless dup
+        # row), the frame scatter drops them
+        idx_p = np.full((cap,), n, np.int32)
+        idx_p[:n_active] = idx
+        return RayPlan(idx=jnp.asarray(idx_p), n_active=n_active, n_total=n)
+
     def render_image(self, params, voxel_feat, tgt_pose, focal, key,
-                     c_principal=None, occ: Optional[OccupancyState] = None):
+                     c_principal=None, occ: Optional[OccupancyState] = None,
+                     plan: Optional[RayPlan] = None):
         """Render a full (H, W) image by tiling rays (lax.map bounds memory).
 
         tgt_pose: (1, 4, 4). Returns (rgb (H,W,3), embed (H,W,D), depth (H,W)).
+        With a RayPlan (plan_rays), only the active rays are rendered and
+        the frame is scattered back with background elsewhere.
         """
         cfg = self.cfg
         h, w = cfg.image_height, cfg.image_width
@@ -491,12 +581,17 @@ class NeuralRenderer:
             voxel_feat = expand_corners(voxel_feat).astype(
                 jnp.dtype(cfg.field.compute_dtype))
         n = rays.shape[0]
-        tile = min(cfg.render_tile, n)
-        n_pad = (-n) % tile
-        rays_p = jnp.concatenate([rays, jnp.zeros((n_pad, 8), rays.dtype)
-                                  .at[:, 6].set(cfg.z_near)
-                                  .at[:, 7].set(cfg.z_far)], 0)
-        tiles = rays_p.reshape(-1, tile, 8)
+        if plan is not None:
+            rays_sel = jnp.take(rays, plan.idx, axis=0, mode="clip")
+            tile = min(cfg.render_tile, rays_sel.shape[0])
+            tiles = rays_sel.reshape(-1, tile, 8)
+        else:
+            tile = min(cfg.render_tile, n)
+            n_pad = (-n) % tile
+            rays_p = jnp.concatenate([rays, jnp.zeros((n_pad, 8), rays.dtype)
+                                      .at[:, 6].set(cfg.z_near)
+                                      .at[:, 7].set(cfg.z_far)], 0)
+            tiles = rays_p.reshape(-1, tile, 8)
         keys = jax.random.split(key, tiles.shape[0])
 
         def one_tile(args):
@@ -507,10 +602,20 @@ class NeuralRenderer:
             return f.rgb, f.embed, f.depth
 
         rgb, embed, depth = jax.lax.map(one_tile, (tiles, keys))
-        rgb = rgb.reshape(-1, 3)[:n].reshape(h, w, 3)
-        embed = embed.reshape(-1, embed.shape[-1])[:n].reshape(h, w, -1)
-        depth = depth.reshape(-1)[:n].reshape(h, w)
-        return rgb, embed, depth
+        rgb = rgb.reshape(-1, 3)
+        embed = embed.reshape(-1, embed.shape[-1])
+        depth = depth.reshape(-1)
+        if plan is not None:
+            bg = 1.0 if cfg.white_bkgd else 0.0
+            rgb = jnp.full((n, 3), bg, rgb.dtype).at[plan.idx].set(
+                rgb, mode="drop")
+            embed = jnp.zeros((n, embed.shape[-1]), embed.dtype).at[
+                plan.idx].set(embed, mode="drop")
+            depth = jnp.zeros((n,), depth.dtype).at[plan.idx].set(
+                depth, mode="drop")
+        return (rgb[:n].reshape(h, w, 3),
+                embed[:n].reshape(h, w, -1),
+                depth[:n].reshape(h, w))
 
     # ------------------------------------------------------------------ loss
     def rendering_loss(self, params, voxel_feat, gt_rgb, gt_pose, focal, key,

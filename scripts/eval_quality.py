@@ -42,6 +42,14 @@ def main():
     ap.add_argument("--ckpt-dir", required=True)
     ap.add_argument("--data-root", required=True)
     ap.add_argument("--n-demos", type=int, default=5)
+    ap.add_argument("--holdout-demos", default="",
+                    help="comma list of demo ids the checkpoint was NOT "
+                         "trained on; their BC decode is reported "
+                         "separately (leave-one-demo-out)")
+    ap.add_argument("--n-perturb", type=int, default=2,
+                    help="SE(3)-perturbed decodes per transition (0=off): "
+                         "robustness of BC decode off the exact training "
+                         "clouds")
     ap.add_argument("--out", default=None)
     ap.add_argument("--panels-dir", default=None,
                     help="save per-backend render panels here")
@@ -118,13 +126,16 @@ def main():
     base_field = cfg.renderer.field
 
     def variant(name, **kw):
+        cull = kw.pop("cull", False)
         field_kw = {k: v for k, v in kw.items()
                     if k in ("compute_dtype", "mlp_backend")}
         rend_kw = {k: v for k, v in kw.items() if k not in field_kw}
         rcfg = dataclasses.replace(
             cfg.renderer, field=dataclasses.replace(base_field, **field_kw),
             **rend_kw)
-        return name, NeuralRenderer(rcfg)
+        rend = NeuralRenderer(rcfg)
+        rend._cull = cull   # RayPlan active-ray culling (plan_rays)
+        return name, rend
 
     variants = [
         variant("xla_fp32", compute_dtype="float32"),
@@ -149,29 +160,66 @@ def main():
         variant("occfield_int8_compact", compute_dtype="bfloat16",
                 mlp_backend="pallas_int8", sampling_mode="occupancy",
                 occ_source="field", n_coarse=24, n_fine=16, n_fine_depth=0),
+        # union occupancy (occ_source='auto'): robust to checkpoints whose
+        # density sits off the recorded points (the reference's unmasked /
+        # lambda_depth=0 shipped config) AND to under-trained fields
+        variant("occauto_int8_compact", compute_dtype="bfloat16",
+                mlp_backend="pallas_int8", sampling_mode="occupancy",
+                occ_source="auto", n_coarse=24, n_fine=16, n_fine_depth=0),
+        # the rays/s-vs-PSNR frontier (culled frames + shrinking budgets):
+        # RayPlan drops rays that miss the occupied AABB once per camera
+        variant("occ_int8_cull24", compute_dtype="bfloat16",
+                mlp_backend="pallas_int8", sampling_mode="occupancy",
+                occ_source="auto", n_coarse=24, n_fine=16, n_fine_depth=0,
+                cull=True),
+        variant("occ_int8_cull16", compute_dtype="bfloat16",
+                mlp_backend="pallas_int8", sampling_mode="occupancy",
+                occ_source="auto", n_coarse=16, n_fine=8, n_fine_depth=0,
+                cull=True),
+        variant("occ_int8_cull12", compute_dtype="bfloat16",
+                mlp_backend="pallas_int8", sampling_mode="occupancy",
+                occ_source="auto", n_coarse=12, n_fine=6, n_fine_depth=0,
+                cull=True),
     ]
     if args.variants:
         keep = set(args.variants.split(","))
         variants = [v for v in variants if v[0] in keep]
 
+    has_holdout_view = src.has_holdout
+    hv = src.holdout_view(0, 0) if has_holdout_view else None
+    hpose = (jnp.asarray(src.holdout_pose)[None] if has_holdout_view
+             else None)
+
     results = {"step": int(state.step)}
     ref_img = None
     for name, rend in variants:
-        occ = None
-        if rend.cfg.sampling_mode == "occupancy":
-            if rend.cfg.occ_source == "field":
-                occ = rend.prepare_occupancy_from_field(
-                    {"params": state.params["nerf"]}, voxel_feat[:1])
-            else:
-                occ = rend.prepare_occupancy(occ_channel)
+        do_cull = rend.cfg.sampling_mode == "occupancy" and getattr(
+            rend, "_cull", False)
+        occ = rend.prepare({"params": state.params["nerf"]}, voxel_feat[:1],
+                           occupancy=occ_channel)
+        plan = rend.plan_rays(occ, pose, focal) if do_cull else None
         rgb, embed, depth = rend.render_image(
             {"params": state.params["nerf"]}, voxel_feat[:1], pose, focal,
-            jax.random.key(7), occ=occ)
+            jax.random.key(7), occ=occ, plan=plan)
         img = np.asarray(rgb, np.float32)
         entry = {
             "psnr": psnr_np(img, gt),
             "psnr_fg": psnr_np(img[fg], gt[fg]) if fg.any() else 0.0,
         }
+        if do_cull:
+            entry["cull_active_frac"] = plan.n_active / plan.n_total
+        if has_holdout_view:
+            plan_h = (rend.plan_rays(occ, hpose, focal) if do_cull
+                      else None)
+            rgb_h, _, _ = rend.render_image(
+                {"params": state.params["nerf"]}, voxel_feat[:1], hpose,
+                focal, jax.random.key(7), occ=occ, plan=plan_h)
+            img_h = np.asarray(rgb_h, np.float32)
+            entry["psnr_holdout"] = psnr_np(img_h, hv["rgb"])
+            fg_h = hv["rgb"].sum(-1) > 0.02
+            entry["psnr_holdout_fg"] = (psnr_np(img_h[fg_h],
+                                                hv["rgb"][fg_h])
+                                        if fg_h.any() else 0.0)
         if ref_img is None:
             ref_img = img
         else:
@@ -190,43 +238,109 @@ def main():
                 psnr=entry["psnr"])
 
     # ------------------------------------------------------- BC decoding
-    n_match, n_tot, dists, rot_ok, grip_ok = 0, 0, [], 0, 0
-    rot_near_ok = 0
+    holdout_demos = set(int(x) for x in args.holdout_demos.split(",") if x)
+
+    class Acc:
+        def __init__(self):
+            self.n = self.match = self.rot = self.rot1 = self.grip = 0
+            self.dists = []
+
+        def add(self, got_t, got_rg, want_t, want_rg, nrc):
+            self.n += 1
+            self.dists.append(float(np.linalg.norm(got_t - want_t)))
+            self.match += int((got_t == want_t).all())
+            self.rot += int((got_rg[:3] == want_rg[:3]).all())
+            # +-1-bin tolerance (5 deg bins; continuous GT angles sit
+            # arbitrarily close to bin edges, so exact-bin is a coin flip
+            # even for a well-placed prediction)
+            dbin = np.abs(got_rg[:3] - want_rg[:3])
+            dbin = np.minimum(dbin, nrc - dbin)          # circular
+            self.rot1 += int((dbin <= 1).all())
+            self.grip += int(got_rg[3] == want_rg[3])
+
+        def summary(self):
+            if self.n == 0:
+                return {}
+            return {
+                "transitions": self.n,
+                "trans_exact_match": round(self.match / self.n, 4),
+                "trans_mean_voxel_dist": round(float(np.mean(self.dists)),
+                                               3),
+                "rot_exact_match": round(self.rot / self.n, 4),
+                "rot_within_1bin": round(self.rot1 / self.n, 4),
+                "grip_match": round(self.grip / self.n, 4),
+            }
+
+    def expected(d, k):
+        xyz1, rot1, g1 = src.pose(d, k + 1)
+        want = discretize_action(
+            jnp.asarray(xyz1)[None], jnp.asarray(rot1)[None],
+            jnp.asarray([g1]), jnp.ones((1,)), tr.bounds,
+            c.model.voxel_size, c.rotation_resolution)
+        return np.asarray(want.trans[0]), np.asarray(want.rot_grip[0])
+
+    acc_train, acc_hold, acc_pert = Acc(), Acc(), Acc()
+    nrc = c.model.num_rotation_classes
+
+    # SE(3)-perturbed decode: shift the cloud AND the supervision the way
+    # training does (ops/se3_aug.py), decode from the shifted cloud; a
+    # policy that memorized absolute voxel indices fails this, one that
+    # reads the scene passes (reference analog: apply_se3_augmentation,
+    # agent_function.py:48-234, train-time only — the reference never
+    # evaluates under perturbation)
+    from real_robot_nerf_actor_tpu.ops import apply_se3_augmentation
+
     for d in range(args.n_demos):
         for k in range(src.num_keyframes(d) - 1):
             _, o = features_for(d, k)
             coords, rot_grip, coll = choose_highest_action(
                 o[0], o[1], o[2], c.rotation_resolution)
-            xyz1, rot1, g1 = src.pose(d, k + 1)
-            want = discretize_action(
-                jnp.asarray(xyz1)[None], jnp.asarray(rot1)[None],
-                jnp.asarray([g1]), jnp.ones((1,)), tr.bounds,
-                c.model.voxel_size, c.rotation_resolution)
-            got = np.asarray(coords[0])
-            exp = np.asarray(want.trans[0])
-            dists.append(float(np.linalg.norm(got - exp)))
-            n_match += int((got == exp).all())
-            rg_got = np.asarray(rot_grip[0])
-            rg_exp = np.asarray(want.rot_grip[0])
-            rot_ok += int((rg_got[:3] == rg_exp[:3]).all())
-            # +-1-bin tolerance (5 deg bins; continuous GT angles sit
-            # arbitrarily close to bin edges, so exact-bin is a coin flip
-            # even for a well-placed prediction)
-            nrc = int(o[1].shape[-1] - 2) // 3
-            dbin = np.abs(rg_got[:3] - rg_exp[:3])
-            dbin = np.minimum(dbin, nrc - dbin)          # circular
-            rot_near_ok += int((dbin <= 1).all())
-            grip_ok += int(rg_got[3] == rg_exp[3])
-            n_tot += 1
-    results["bc"] = {
-        "transitions": n_tot,
-        "trans_exact_match": round(n_match / n_tot, 4),
-        "trans_mean_voxel_dist": round(float(np.mean(dists)), 3),
-        "rot_exact_match": round(rot_ok / n_tot, 4),
-        "rot_within_1bin": round(rot_near_ok / n_tot, 4),
-        "grip_match": round(grip_ok / n_tot, 4),
-    }
-    print("[quality] BC decode:", results["bc"])
+            want_t, want_rg = expected(d, k)
+            acc = acc_hold if d in holdout_demos else acc_train
+            acc.add(np.asarray(coords[0]), np.asarray(rot_grip[0]),
+                    want_t, want_rg, nrc)
+            for p in range(args.n_perturb):
+                pts, cols, valid = pad_point_cloud(
+                    src.pointcloud(d, k), c.voxelizer.max_num_coords)
+                demo = src.demos[d]
+                kf = jnp.asarray(np.stack([demo.xyz[k], demo.xyz[k + 1]]))
+                aug = apply_se3_augmentation(
+                    jax.random.key(1000 * d + 10 * k + p),
+                    jnp.asarray(pts)[None], kf, tr.bounds,
+                    jnp.asarray(c.trans_aug_range), c.model.voxel_size)
+                vox_p = voxelize(aug.pcd, jnp.asarray(cols)[None],
+                                 tr.bounds, c.voxelizer,
+                                 valid=jnp.asarray(valid)[None])
+                dd = discretize_action(
+                    jnp.asarray(demo.xyz[k:k + 1]),
+                    jnp.asarray(demo.rotation[k:k + 1]),
+                    jnp.asarray(demo.gripper_open[k:k + 1]),
+                    jnp.ones((1,)), tr.bounds, c.model.voxel_size,
+                    c.rotation_resolution)
+                proprio_p = jnp.concatenate(
+                    [aug.action_trans[0:1].astype(jnp.float32),
+                     dd.rot_grip.astype(jnp.float32)], axis=-1)
+                lang = jnp.zeros((1, c.model.lang_max_seq_len,
+                                  c.model.lang_emb_dim))
+                o_p, _ = tr._forward(state.params["policy"], state.extra,
+                                     vox_p, proprio_p, lang, train=False)
+                coords_p, rot_grip_p, _ = choose_highest_action(
+                    o_p[0], o_p[1], o_p[2], c.rotation_resolution)
+                acc_pert.add(np.asarray(coords_p[0]),
+                             np.asarray(rot_grip_p[0]),
+                             np.asarray(aug.action_trans[1]), want_rg,
+                             nrc)
+
+    results["bc"] = acc_train.summary()
+    print("[quality] BC decode (train demos):", results["bc"])
+    if acc_hold.n:
+        results["bc_holdout_demo"] = acc_hold.summary()
+        print("[quality] BC decode (held-out demos):",
+              results["bc_holdout_demo"])
+    if acc_pert.n:
+        results["bc_se3_perturbed"] = acc_pert.summary()
+        print("[quality] BC decode (SE3-perturbed):",
+              results["bc_se3_perturbed"])
 
     if args.out:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)

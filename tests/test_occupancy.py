@@ -230,3 +230,54 @@ def test_prepare_occupancy_from_field():
     r_hi = NeuralRenderer(dataclasses.replace(cfg, occ_alpha_thresh=0.5))
     hi = r_hi.prepare_occupancy_from_field(rnd, vox_r)
     assert np.all(np.asarray(hi.pooled) <= np.asarray(lo.pooled))
+
+
+def test_ray_plan_culled_render_matches_unculled():
+    """plan_rays + render_image(plan=...) == render_image(occ=...) exactly
+    on a mask_outside field: culled rays' samples sit at the far plane,
+    outside coord_bounds, where sigma is hard-zeroed -> pure background
+    either way. Also checks the plan's active set is a strict subset."""
+    import dataclasses
+    from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
+    from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
+
+    cfg = RendererConfig(
+        image_width=16, image_height=12, n_coarse=8, n_fine=4,
+        n_fine_depth=0, z_near=0.5, z_far=6.0, render_tile=64,
+        sampling_mode="occupancy", occ_pool=2, occ_probes=8,
+        field=NerfFieldConfig(d_latent=4, d_embed=4, d_hidden=16, n_blocks=2,
+                              combine_layer=1,
+                              coord_bounds=(0, 0, 0, 1, 1, 1),
+                              mask_outside=True))
+    r = NeuralRenderer(cfg)
+    params = r.init_params(jax.random.key(0))
+    params["params"]["mlp_coarse"]["lin_out_bias"] = (
+        params["params"]["mlp_coarse"]["lin_out_bias"].at[3].set(2.0))
+    vox = jax.random.normal(jax.random.key(1), (1, 8, 8, 8, 4))
+    # occupy a small blob so a good fraction of the frame misses
+    occ = r.prepare_occupancy(
+        jnp.zeros((8, 8, 8)).at[3:5, 3:5, 3:5].set(1.0))
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.5, 0.5, 3.0]
+    pose_j = jnp.asarray(pose)[None]
+    focal = jnp.asarray(12.0)
+    plan = r.plan_rays(occ, pose_j, focal)
+    assert 0 < plan.n_active < plan.n_total
+    key = jax.random.key(7)
+    rgb_a, emb_a, dep_a = r.render_image(params, vox, pose_j, focal, key,
+                                         occ=occ)
+    rgb_b, emb_b, dep_b = r.render_image(params, vox, pose_j, focal, key,
+                                         occ=occ, plan=plan)
+    # identical RNG consumption differs per tile, so compare with a small
+    # tolerance on the active rays and exactness on the culled ones
+    hit = np.zeros(plan.n_total, bool)
+    hit[np.asarray(plan.idx)[:plan.n_active]] = True
+    hit = hit.reshape(12, 16)
+    np.testing.assert_array_equal(np.asarray(rgb_b)[~hit], 0.0)
+    np.testing.assert_array_equal(np.asarray(dep_b)[~hit], 0.0)
+    # unculled misses must also composite to (near-)black
+    assert float(np.abs(np.asarray(rgb_a)[~hit]).max()) < 1e-5
+    # per-ray sampling is keyed per tile; culling changes tiling, so allow
+    # sampling jitter on hit rays
+    assert float(np.abs(np.asarray(rgb_b)[hit] -
+                        np.asarray(rgb_a)[hit]).max()) < 0.15
