@@ -44,6 +44,12 @@ class Task:
     def is_success(self, env: "XArmSimEnv") -> bool:
         return False
 
+    def extra_obs(self, env: "XArmSimEnv") -> Optional[np.ndarray]:
+        """Task-specific state-obs entries NOT derivable from qpos/mocap
+        (e.g. a goal jittered via model.body_pos / model.site_pos); the
+        reference's _get_state_obs always embeds its goal positions."""
+        return None
+
     # helpers
     @staticmethod
     def body_pos(env, name):
@@ -324,18 +330,208 @@ class ReachWallTask(ReachTask):
                                           [0.15, 0.25, 0.2])
 
 
-class PegInsertTask(PegInBoxTask):
+class PegInsertTask(Task):
+    """Pick the peg up and insert it into the hole of a block.
+
+    Reference: env/robot/peg_insert.py — staged reach/pick/place reward
+    (:37-120) with a pickCompleted latch (:72-76), success = pegHead within
+    a distance threshold of the goal site inside the hole (:182-185), peg
+    and hole positions jittered per episode (:187-231). Distinct from
+    peg_in_box: the target is a tight vertical hole (0.03 m square opening
+    for a 0.024 m peg) the peg must enter, not an open box to drop into.
+    """
+
     name = "peg_insert"
+    threshold = 0.035
+    objects_xml = """
+    <body name="peg" pos="0.08 -0.05 0.055">
+      <freejoint name="peg_joint"/>
+      <geom name="peg_shaft" type="cylinder" size="0.012 0.05" mass="0.08"
+            friction="1.5 0.01 0.0002" rgba="0.9 0.6 0.1 1"/>
+      <site name="peg_head" pos="0 0 -0.05" size="0.004" rgba="1 0 0 1"/>
+    </body>"""
+    extra_xml = """
+    <body name="hole_block" pos="-0.2 -0.15 0.05">
+      <geom type="box" size="0.018 0.05 0.05" pos="-0.033 0 0"
+            rgba="0.35 0.35 0.4 1"/>
+      <geom type="box" size="0.018 0.05 0.05" pos="0.033 0 0"
+            rgba="0.35 0.35 0.4 1"/>
+      <geom type="box" size="0.015 0.0175 0.05" pos="0 -0.0325 0"
+            rgba="0.35 0.35 0.4 1"/>
+      <geom type="box" size="0.015 0.0175 0.05" pos="0 0.0325 0"
+            rgba="0.35 0.35 0.4 1"/>
+      <site name="hole_goal" pos="0 0 -0.035" size="0.005" rgba="0 1 0 0.5"/>
+    </body>"""
+
+    def __init__(self):
+        self._picked = False
+
+    @staticmethod
+    def _site(env, name):
+        sid = mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_SITE, name)
+        return env.data.site_xpos[sid].copy()
+
+    def reset(self, model, data, rng):
+        self._picked = False
+        jadr = model.jnt_qposadr[mujoco.mj_name2id(
+            model, mujoco.mjtObj.mjOBJ_JOINT, "peg_joint")]
+        data.qpos[jadr:jadr + 3] = [*(np.array([0.08, -0.05])
+                                      + rng.uniform(-0.04, 0.04, 2)), 0.055]
+        data.qpos[jadr + 3:jadr + 7] = [1, 0, 0, 0]
+        bid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_BODY, "hole_block")
+        model.body_pos[bid][:2] = (np.array([-0.2, -0.15])
+                                   + rng.uniform(-0.03, 0.03, 2))
+
+    def reward(self, env):
+        peg = self.body_pos(env, "peg")
+        head = self._site(env, "peg_head")
+        goal = self._site(env, "hole_goal")
+        reach = -float(np.linalg.norm(env.ee_pos() - peg))
+        # pick latch: lifted clear of the block top and held near the hand
+        lift_h = self.body_pos(env, "hole_block")[2] + 0.05 + 0.04
+        if peg[2] > lift_h and -reach < 0.08:
+            self._picked = True
+        if peg[2] < 0.05 and -reach > 0.1:
+            self._picked = False          # dropped
+        place = -float(np.linalg.norm(head - goal))
+        r = reach + (2.0 if self._picked else 0.0)
+        if self._picked or place > -0.1:
+            r += 3.0 * place
+        return r
+
+    def is_success(self, env):
+        return float(np.linalg.norm(self._site(env, "peg_head")
+                                    - self._site(env, "hole_goal"))) \
+            < self.threshold
+
+    def extra_obs(self, env):
+        return np.concatenate([self._site(env, "peg_head"),
+                               self._site(env, "hole_goal"),
+                               [1.0 if self._picked else 0.0]])
 
 
-class HammerTask(LiftTask):
+class HammerTask(Task):
+    """Drive the nail into its board by pressing it down.
+
+    Reference: env/robot/hammer.py — reward approaches the nail then
+    closes the nail->goal vertical gap (:26-45), the achieved goal is the
+    nail site (:84-85), the nail board is jittered per episode (:87-99).
+    Distinct bodies: a board with a spring-loaded nail on a vertical slide
+    joint (friction holds it until pressed); success = nail driven to goal
+    depth. Our gripper body itself is the striking tool (the reference
+    welds a hammer into the xArm hand).
+    """
+
     name = "hammer"
-    obj_color = "0.55 0.35 0.2 1"
+    drive_depth = 0.03      # slide travel (m) for success
+
+    extra_xml = """
+    <body name="nail_board" pos="-0.18 0.18 0.025">
+      <geom name="board" type="box" size="0.06 0.06 0.025"
+            rgba="0.5 0.35 0.2 1"/>
+      <body name="nail" pos="0 0 0.025">
+        <joint name="nail_slide" type="slide" axis="0 0 -1" range="0 0.035"
+               damping="6" frictionloss="0.8"/>
+        <geom name="nail_shaft" type="cylinder" size="0.005 0.05"
+              pos="0 0 0.05" rgba="0.75 0.75 0.8 1" mass="0.02"
+              contype="0" conaffinity="0"/>
+        <geom name="nail_head" type="cylinder" size="0.016 0.005"
+              pos="0 0 0.105" rgba="0.85 0.2 0.2 1" mass="0.02"/>
+      </body>
+    </body>"""
+
+    def reset(self, model, data, rng):
+        bid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_BODY, "nail_board")
+        model.body_pos[bid][:2] = (np.array([-0.18, 0.18])
+                                   + rng.uniform([-0.05, -0.1], [0.05, 0.1]))
+        jadr = model.jnt_qposadr[mujoco.mj_name2id(
+            model, mujoco.mjtObj.mjOBJ_JOINT, "nail_slide")]
+        data.qpos[jadr] = 0.0
+
+    def _drive(self, env) -> float:
+        jid = mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_JOINT,
+                                "nail_slide")
+        return float(env.data.qpos[env.model.jnt_qposadr[jid]])
+
+    def _nail_head(self, env):
+        gid = mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_GEOM,
+                                "nail_head")
+        return env.data.geom_xpos[gid].copy()
+
+    def reward(self, env):
+        d_eef = float(np.linalg.norm(env.ee_pos() - self._nail_head(env)))
+        remaining = max(0.0, self.drive_depth - self._drive(env))
+        return -2.0 * d_eef - 2.0 * remaining
+
+    def is_success(self, env):
+        return self._drive(env) >= self.drive_depth
+
+    def extra_obs(self, env):
+        return self._nail_head(env)
 
 
-class GolfTask(PushTask):
+class GolfTask(Task):
+    """Putt the ball across the table into the hole.
+
+    Reference: env/robot/golf.py — a rolling ball to a fixed far goal with
+    a tight 0.035 m threshold and a success bonus in the dense reward
+    (:23-31), ball spawned near the table center with xy jitter (:50-54),
+    goal jittered along y only (:65-68). Distinct dynamics: a low-friction
+    sphere that keeps rolling after contact (the skill is impulse control,
+    not sustained pushing), and the end-effector is only shaped toward the
+    ball until the ball is rolling.
+    """
+
     name = "golf"
-    obj_color = "0.95 0.95 0.95 1"
+    threshold = 0.035
+
+    objects_xml = """
+    <body name="ball" pos="0.05 -0.1 0.02">
+      <freejoint name="ball_joint"/>
+      <geom name="ball_geom" type="sphere" size="0.02" mass="0.03"
+            friction="0.35 0.004 0.0001" rgba="0.95 0.95 0.95 1"/>
+    </body>"""
+    extra_xml = """
+    <site name="hole" pos="-0.22 0.22 0.001" size="0.035 0.001"
+          type="cylinder" rgba="0.05 0.3 0.05 1"/>"""
+
+    def reset(self, model, data, rng):
+        jadr = model.jnt_qposadr[mujoco.mj_name2id(
+            model, mujoco.mjtObj.mjOBJ_JOINT, "ball_joint")]
+        data.qpos[jadr:jadr + 3] = [*(np.array([0.05, -0.1])
+                                      + rng.uniform(-0.04, 0.04, 2)), 0.02]
+        data.qpos[jadr + 3:jadr + 7] = [1, 0, 0, 0]
+        data.qvel[:] = 0.0
+        sid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_SITE, "hole")
+        model.site_pos[sid][1] = 0.22 + rng.uniform(-0.05, 0.025)
+
+    def _hole(self, env):
+        sid = mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_SITE, "hole")
+        return env.data.site_xpos[sid].copy()
+
+    def _dist(self, env) -> float:
+        return float(np.linalg.norm(
+            self.body_pos(env, "ball")[:2] - self._hole(env)[:2]))
+
+    def _ball_speed(self, env) -> float:
+        jid = mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_JOINT,
+                                "ball_joint")
+        vadr = env.model.jnt_dofadr[jid]
+        return float(np.linalg.norm(env.data.qvel[vadr:vadr + 2]))
+
+    def reward(self, env):
+        d = self._dist(env)
+        ball = self.body_pos(env, "ball")
+        shape = 0.0 if self._ball_speed(env) > 0.02 else \
+            -0.3 * float(np.linalg.norm(env.ee_pos() - ball))
+        bonus = round(1.0 - d, 4) if d <= self.threshold else 0.0
+        return round(-d, 4) + shape + bonus
+
+    def is_success(self, env):
+        return self._dist(env) < self.threshold
+
+    def extra_obs(self, env):
+        return self._hole(env)
 
 
 TASK_REGISTRY: Dict[str, Type[Task]] = {
@@ -475,6 +671,9 @@ class XArmSimEnv(gym.Env):
         for i in range(self.model.nmocap):
             if i != self._mocap_id:
                 parts.append(self.data.mocap_pos[i])
+        extra = self.task.extra_obs(self)
+        if extra is not None:
+            parts.append(extra)
         return np.concatenate([np.atleast_1d(np.asarray(p, np.float32))
                                for p in parts])
 

