@@ -120,6 +120,11 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
                               mask_outside=cull,
                               mlp_backend=mlp_backend))
     r = NeuralRenderer(cfg)
+    # pinned to the voxel source (not cfg.occ_source/prepare()): the bench
+    # field is random with a +1 sigma bias, so field-derived occupancy is
+    # everywhere-occupied and would no-op the tighten — unrepresentative of
+    # a trained bounded field. Real-checkpoint quality gating of occ_source
+    # lives in scripts/eval_quality.py (occauto/occfield variants).
     occ_state = r.prepare_occupancy(scene_occupancy(jax)) \
         if (occupancy or cull) else None
     params = r.init_params(jax.random.key(0))

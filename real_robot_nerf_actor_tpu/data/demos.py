@@ -60,6 +60,31 @@ def scripted_expert(env: XArmSimEnv) -> np.ndarray:
             return np.clip(np.concatenate(
                 [[0, 0, (grasp_z - ee[2]) * 8], [-1.0]]), -1, 1)
         return np.array([0, 0, 0, 1.0], np.float32)
+    if name in ("push", "golf"):
+        # goal-aware pushing: travel to a point BEHIND the object (opposite
+        # the goal), descend, then drive through the object toward the goal
+        goal = (task._goal(env)[:2] if name == "push"
+                else task._hole(env)[:2])
+        to_goal = goal - obj[:2]
+        d_goal = float(np.linalg.norm(to_goal))
+        if d_goal < 1e-6:
+            return np.zeros(4, np.float32)
+        u = to_goal / d_goal
+        z_work = obj[2] + 0.03
+        behind = obj[:2] - u * 0.05
+        aligned = np.linalg.norm(ee[:2] - behind) < 0.02
+        if aligned and ee[2] < z_work + 0.02:
+            speed = min(0.6, 4.0 * d_goal)   # ease off near the goal
+            return np.clip(np.array([u[0] * speed, u[1] * speed,
+                                     (z_work - ee[2]) * 4, 1.0]), -1, 1)
+        if aligned:
+            return np.clip(np.concatenate(
+                [(behind - ee[:2]) * 8, [(z_work - ee[2]) * 8], [1.0]]),
+                -1, 1)
+        tgt = np.array([behind[0], behind[1], z_work + 0.08])
+        if ee[2] < z_work + 0.05 and np.linalg.norm(ee[:2] - behind) > 0.03:
+            tgt[2] = z_work + 0.12           # rise to clear the object
+        return np.clip(np.concatenate([(tgt - ee) * 8, [1.0]]), -1, 1)
     # push-like default: move toward the object at table height and push
     return np.clip(np.concatenate([(obj - ee) * 10, [1.0]]), -1, 1)
 

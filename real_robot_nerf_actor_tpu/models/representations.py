@@ -127,6 +127,11 @@ def make_embedding(name: str, out_dim: Optional[int] = None,
         return Embedding(name, None, out_dim or 1,
                          apply_fn=lambda v, o: jnp.zeros(
                              (np.shape(o)[0], out_dim or 1)))
+    if name == "state":
+        # identity passthrough for state observations (the reference's
+        # state-BC baselines skip the visual encoder entirely)
+        return Embedding(name, None, out_dim or -1,
+                         apply_fn=lambda v, o: jnp.asarray(o, jnp.float32))
     if name == "simple":
         return of(SimpleCNN(out_dim or 64), out_dim or 64)
     # -- resnet class: torchvision-layout backbones; mocov2/pri3d share the

@@ -174,3 +174,17 @@ def test_sac_pixel_update():
     m1 = agent.update(rb.sample(16))
     m2 = agent.update(rb.sample(16))
     assert np.isfinite(m1["critic_loss"]) and np.isfinite(m2["critic_loss"])
+
+
+def test_bc_state_embedding_registry():
+    """embedding='state' (round 4): identity passthrough wired into the
+    registry so state-obs BC needs no subclass workaround."""
+    trajs = generate_demonstrations("push", n_demos=2, obs_mode="state",
+                                    episode_length=60, seed=0)
+    cfg = BCConfig(embedding="state", obs_mode="state", hidden_dim=32,
+                   batch_size=16, lr=1e-3)
+    tr = BCTrainer(cfg, trajs[0].observations[0], seed=0)
+    losses = tr.fit(trajs, epochs=20)
+    assert losses[-1] < losses[0]
+    a = tr.act(trajs[0].observations[0])
+    assert a.shape == (4,)
