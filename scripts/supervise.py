@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Stall watchdog + auto-restart for long training runs.
+
+Reference analog: the reference has none — its trainers are foreground
+PyTorch loops restarted by hand (e.g. train_nerfact_multi_kitchen.py's
+comment-driven resume). On a remote-device link a hung RPC freezes the
+host loop silently (observed: a device fetch futex-waiting forever while
+the step log went stale), so framework-level failure recovery is:
+detect staleness of the run's progress file, kill the wedged process
+group, restart the command — which resumes from the latest checkpoint
+(Trainer.run(resume=True) is the default in every driver).
+
+Usage:
+  python scripts/supervise.py --log run.log --stale-secs 600 \
+      [--max-restarts 10] -- python scripts/train_nerfact.py ...
+
+The child's stdout/stderr are appended to --log, which doubles as the
+liveness signal (trainers print every log_every steps). Exits with the
+child's code when it terminates on its own; restarts it only on stall.
+"""
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log", required=True, help="append child output here; "
+                    "its mtime is the liveness signal")
+    ap.add_argument("--stale-secs", type=float, default=600.0)
+    ap.add_argument("--max-restarts", type=int, default=10)
+    ap.add_argument("--poll-secs", type=float, default=30.0)
+    ap.add_argument("cmd", nargs=argparse.REMAINDER,
+                    help="-- command to run")
+    args = ap.parse_args()
+    cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
+    if not cmd:
+        ap.error("no command given (use -- cmd ...)")
+
+    restarts = 0
+    while True:
+        with open(args.log, "ab", buffering=0) as logf:
+            logf.write(f"[supervise] start (restart {restarts}): "
+                       f"{' '.join(cmd)}\n".encode())
+            # own process group so a wedged child's threads die with it
+            child = subprocess.Popen(cmd, stdout=logf, stderr=logf,
+                                     start_new_session=True)
+            print(f"[supervise] child pid {child.pid}", flush=True)
+            while True:
+                rc = child.poll()
+                if rc is not None:
+                    if rc == 0:
+                        print("[supervise] child finished cleanly")
+                        return 0
+                    print(f"[supervise] child exited rc={rc}; restarting")
+                    break
+                age = time.time() - os.stat(args.log).st_mtime
+                if age > args.stale_secs:
+                    print(f"[supervise] log stale {age:.0f}s > "
+                          f"{args.stale_secs:.0f}s; killing process group")
+                    logf.write(f"[supervise] stall detected ({age:.0f}s "
+                               f"stale); killing\n".encode())
+                    try:
+                        os.killpg(child.pid, signal.SIGTERM)
+                        time.sleep(5)
+                        if child.poll() is None:
+                            os.killpg(child.pid, signal.SIGKILL)
+                    except ProcessLookupError:
+                        pass
+                    child.wait()
+                    break
+                time.sleep(args.poll_secs)
+        restarts += 1
+        if restarts > args.max_restarts:
+            print("[supervise] max restarts exceeded", file=sys.stderr)
+            return 1
+        time.sleep(5)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
