@@ -142,7 +142,7 @@ def generate_nerf_scene(task_name: str = "lift", n_views: int = 12,
         env.step(rng.uniform(-1, 1, 4))
 
     renderer = RaycastRenderer(env.model, image_size, image_size)
-    images, poses = [], []
+    images, poses, depths = [], [], []
     center = np.array([0.0, 0.0, 0.08])
     for i in range(n_views):
         ang = 2 * np.pi * i / n_views
@@ -155,11 +155,13 @@ def generate_nerf_scene(task_name: str = "lift", n_views: int = 12,
         env.set_camera_pose("dynamic", eye, np.concatenate([right, up]))
         out = renderer.render(env.data, "dynamic")
         images.append(out.rgb)
+        depths.append(out.depth)
         poses.append(camera_pose(env.model, env.data, "dynamic"))
     k = env.camera_intrinsic("dynamic")
     return Scene(images=np.stack(images).astype(np.float32),
                  poses=np.stack(poses).astype(np.float32),
-                 focal=float(k[0, 0]))
+                 focal=float(k[0, 0]),
+                 depth=np.stack(depths).astype(np.float32))
 
 
 class KeyframeBuffer:
