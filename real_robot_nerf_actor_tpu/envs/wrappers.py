@@ -220,6 +220,80 @@ def make_env(domain_name: str = "robot", task_name: str = "reach",
     return env
 
 
+class LegacyGymAdapter(gym.Env):
+    """Old-gym (4-tuple step, obs-only reset) -> gymnasium API.
+
+    metaworld's V2 envs speak the pre-gymnasium protocol (the reference
+    vendors old gym alongside them); this adapter lets them flow through
+    the same gymnasium wrapper stack as the native suite."""
+
+    def __init__(self, env):
+        self.env = env
+        self.action_space = _as_gymnasium_box(env.action_space)
+        self.observation_space = _as_gymnasium_box(env.observation_space)
+
+    def reset(self, *, seed=None, options=None):
+        if seed is not None and hasattr(self.env, "seed"):
+            self.env.seed(seed)
+        out = self.env.reset()
+        if isinstance(out, tuple) and len(out) == 2:
+            return out
+        return out, {}
+
+    def step(self, action):
+        obs, reward, done, info = self.env.step(action)
+        return obs, reward, bool(done), False, info
+
+    def render(self):
+        return self.env.render()
+
+
+class DmcGymAdapter(gym.Env):
+    """dm_env (TimeStep protocol) -> gymnasium, flattened state obs.
+
+    Reference analog: src/env/wrappers.py:105-116 DMCWrapper — the
+    dm_control suite env is adapted to the gym API before the common
+    wrapper tail (FrameStack etc.)."""
+
+    def __init__(self, env, seed: int = 0):
+        import numpy as np
+        self.env = env
+        spec = env.action_spec()
+        self.action_space = gym.spaces.Box(
+            np.asarray(spec.minimum, np.float32),
+            np.asarray(spec.maximum, np.float32),
+            shape=tuple(spec.shape), dtype=np.float32)
+        dim = int(sum(np.prod(s.shape) if s.shape else 1
+                      for s in env.observation_spec().values()))
+        self.observation_space = gym.spaces.Box(
+            -np.inf, np.inf, (dim,), np.float32)
+
+    @staticmethod
+    def _flatten(obs_dict):
+        import numpy as np
+        return np.concatenate([np.asarray(v, np.float32).reshape(-1)
+                               for v in obs_dict.values()])
+
+    def reset(self, *, seed=None, options=None):
+        ts = self.env.reset()
+        return self._flatten(ts.observation), {}
+
+    def step(self, action):
+        ts = self.env.step(action)
+        done = bool(ts.last())
+        return (self._flatten(ts.observation), float(ts.reward or 0.0),
+                done, False, {})
+
+
+def _as_gymnasium_box(space):
+    """Rebuild a (possibly old-gym) Box space as a gymnasium Box."""
+    import numpy as np
+    if isinstance(space, gym.spaces.Box):
+        return space
+    return gym.spaces.Box(np.asarray(space.low), np.asarray(space.high),
+                          dtype=space.dtype)
+
+
 def _make_metaworld(task_name: str, seed: int):
     """Reference wrappers.py:86-102: metaworld goal-hidden V2 env."""
     try:
@@ -232,20 +306,21 @@ def _make_metaworld(task_name: str, seed: int):
         ) from e
     env = ALL_V2_ENVIRONMENTS_GOAL_HIDDEN[f"{task_name}-v2-goal-hidden"]()
     env.seed(seed)
-    return env
+    return LegacyGymAdapter(env)
 
 
 def _make_dmc(task_name: str, seed: int):
-    """Reference wrappers.py:104-116: dm_control suite env via its gym
-    adapter."""
+    """Reference wrappers.py:104-116: dm_control suite env, adapted to
+    gymnasium before the wrapper tail."""
     try:
         from dm_control import suite  # type: ignore
     except ImportError as e:
         raise ImportError(
             "domain 'dmc' requires dm_control to be installed") from e
     domain, task = task_name.replace("-", "_").split("_", 1)
-    return suite.load(domain, task, task_kwargs={"random": seed},
-                      visualize_reward=False)
+    return DmcGymAdapter(suite.load(domain, task,
+                                    task_kwargs={"random": seed},
+                                    visualize_reward=False), seed)
 
 
 class ObservationSpaceWrapper(gym.Wrapper):

@@ -203,3 +203,106 @@ def test_peg_insert_staged_reward_and_success():
     mujoco.mj_forward(base.model, base.data)
     assert task.is_success(base)
     assert task.reward(base) > r_picked
+
+
+def test_metaworld_branch_with_injected_package():
+    """make_env's metaworld branch (reference wrappers.py:86-102): inject a
+    fake metaworld package speaking the old-gym protocol and check the
+    LegacyGymAdapter + wrapper tail produce a working gymnasium env."""
+    import sys
+    import types
+    from real_robot_nerf_actor_tpu.envs import wrappers as W
+
+    class FakeMW:
+        action_space = gym.spaces.Box(-1, 1, (4,), np.float32)
+        observation_space = gym.spaces.Box(-np.inf, np.inf, (39,),
+                                           np.float32)
+
+        def seed(self, s):
+            self._s = s
+
+        def reset(self):
+            return np.zeros(39, np.float32)
+
+        def step(self, a):
+            return np.zeros(39, np.float32), 1.0, False, {"success": 1.0}
+
+    mw = types.ModuleType("metaworld")
+    mw_envs = types.ModuleType("metaworld.envs")
+    mw_envs.ALL_V2_ENVIRONMENTS_GOAL_HIDDEN = {
+        "reach-v2-goal-hidden": FakeMW}
+    mw.envs = mw_envs
+    sys.modules["metaworld"] = mw
+    sys.modules["metaworld.envs"] = mw_envs
+    try:
+        env = W.make_env(task_name="reach", domain_name="metaworld",
+                         episode_length=3, seed=1)
+        obs, info = env.reset(seed=1)
+        assert obs.shape == (39,)
+        for _ in range(3):
+            obs, r, term, trunc, info = env.step(env.action_space.sample())
+        assert trunc and r == 1.0
+    finally:
+        del sys.modules["metaworld"], sys.modules["metaworld.envs"]
+
+
+def test_dmc_branch_with_injected_package():
+    """make_env's dmc branch (reference wrappers.py:104-116): inject a fake
+    dm_control suite speaking the dm_env TimeStep protocol and check the
+    DmcGymAdapter flattens observations and maps termination."""
+    import sys
+    import types
+    from collections import OrderedDict
+    from real_robot_nerf_actor_tpu.envs import wrappers as W
+
+    class Spec:
+        def __init__(self, shape, lo=-1.0, hi=1.0):
+            self.shape = shape
+            self.minimum = np.full(shape, lo, np.float32)
+            self.maximum = np.full(shape, hi, np.float32)
+
+    class TS:
+        def __init__(self, last=False):
+            self.observation = OrderedDict(
+                pos=np.ones(3, np.float32), vel=np.zeros(2, np.float32))
+            self.reward = 0.5
+            self._last = last
+
+        def last(self):
+            return self._last
+
+    class FakeDmcEnv:
+        _n = 0
+
+        def action_spec(self):
+            return Spec((2,))
+
+        def observation_spec(self):
+            return OrderedDict(pos=Spec((3,)), vel=Spec((2,)))
+
+        def reset(self):
+            self._n = 0
+            return TS()
+
+        def step(self, a):
+            self._n += 1
+            return TS(last=self._n >= 2)
+
+    dmc = types.ModuleType("dm_control")
+    suite = types.ModuleType("dm_control.suite")
+    suite.load = lambda domain, task, task_kwargs, visualize_reward: \
+        FakeDmcEnv()
+    dmc.suite = suite
+    sys.modules["dm_control"] = dmc
+    sys.modules["dm_control.suite"] = suite
+    try:
+        env = W.make_env(task_name="walker-walk", domain_name="dmc",
+                         episode_length=5, seed=0)
+        obs, info = env.reset()
+        assert obs.shape == (5,)
+        obs, r, term, trunc, info = env.step(np.zeros(2, np.float32))
+        assert r == 0.5 and not term
+        obs, r, term, trunc, info = env.step(np.zeros(2, np.float32))
+        assert term  # TimeStep.last() -> terminated
+    finally:
+        del sys.modules["dm_control"], sys.modules["dm_control.suite"]
