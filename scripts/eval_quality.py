@@ -162,7 +162,18 @@ def main():
                 occ_source="field", n_coarse=24, n_fine=16, n_fine_depth=0),
         # union occupancy (occ_source='auto'): robust to checkpoints whose
         # density sits off the recorded points (the reference's unmasked /
-        # lambda_depth=0 shipped config) AND to under-trained fields
+        # lambda_depth=0 shipped config) AND to under-trained fields.
+        # occauto_xla_bf16 is the pure-XLA variant (runs off-TPU too —
+        # the robustness gate on the unmasked round-3 ckpt used it)
+        variant("occauto_xla_bf16", compute_dtype="bfloat16",
+                sampling_mode="occupancy", occ_source="auto",
+                n_coarse=24, n_fine=16, n_fine_depth=0),
+        variant("occfield_xla_bf16", compute_dtype="bfloat16",
+                sampling_mode="occupancy", occ_source="field",
+                n_coarse=24, n_fine=16, n_fine_depth=0),
+        variant("occvoxel_xla_bf16", compute_dtype="bfloat16",
+                sampling_mode="occupancy", occ_source="voxel",
+                n_coarse=24, n_fine=16, n_fine_depth=0),
         variant("occauto_int8_compact", compute_dtype="bfloat16",
                 mlp_backend="pallas_int8", sampling_mode="occupancy",
                 occ_source="auto", n_coarse=24, n_fine=16, n_fine_depth=0),
