@@ -152,13 +152,33 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state_like: TrainState, step: Optional[int] = None
-                ) -> Optional[TrainState]:
+    def restore(self, state_like: TrainState, step: Optional[int] = None,
+                params_only: bool = False) -> Optional[TrainState]:
+        """Full-state restore; with params_only=True only params/extra/step
+        are read and the optimizer state is kept from `state_like` —
+        evaluation/serving of a checkpoint must not depend on the optimizer
+        tree (a schedule change alters opt_state's structure and would
+        otherwise make every older checkpoint unrestorable for eval)."""
         import orbax.checkpoint as ocp
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+        if not params_only:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(state_like))
+        import jax
+        # build the restore target's opt_state from the CHECKPOINT's own
+        # structure metadata (whatever optimizer it was trained with),
+        # then throw that subtree away
+        meta = self._mgr.item_metadata(step)
+        meta_opt = meta.tree["opt_state"] if hasattr(meta, "tree") \
+            else meta["opt_state"]
+        skeleton = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta_opt,
+            is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"))
+        partial = self._mgr.restore(step, args=ocp.args.StandardRestore(
+            state_like.replace(opt_state=skeleton)))
+        return partial.replace(opt_state=state_like.opt_state)
 
 
 class Trainer:

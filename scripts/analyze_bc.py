@@ -41,7 +41,7 @@ def main():
     cfg = load_config(NerfActConfig, args.config, args.override)
     tr = NerfActTrainer(cfg)
     state = tr.init_state(jax.random.key(0))
-    restored = CheckpointManager(args.ckpt_dir).restore(state)
+    restored = CheckpointManager(args.ckpt_dir).restore(state, params_only=True)
     assert restored is not None, "no checkpoint found"
     state = restored
     print(f"checkpoint step {int(state.step)}")

@@ -53,7 +53,7 @@ def main():
     state = tr.init_state(jax.random.key(0), image_shape=(h, w))
     step = 0
     if args.ckpt_dir:
-        restored = CheckpointManager(args.ckpt_dir).restore(state)
+        restored = CheckpointManager(args.ckpt_dir).restore(state, params_only=True)
         if restored is not None:
             state = restored
             step = int(state.step)

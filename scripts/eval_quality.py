@@ -77,7 +77,7 @@ def main():
     cfg = load_config(NerfActConfig, args.config, args.override)
     tr = NerfActTrainer(cfg)
     state = tr.init_state(jax.random.key(0))
-    restored = CheckpointManager(args.ckpt_dir).restore(state)
+    restored = CheckpointManager(args.ckpt_dir).restore(state, params_only=True)
     assert restored is not None, f"no checkpoint in {args.ckpt_dir}"
     state = restored
     print(f"[quality] checkpoint step {int(state.step)}")

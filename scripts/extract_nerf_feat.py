@@ -34,7 +34,7 @@ def main():
     tr = NerfActTrainer(cfg)
     state = tr.init_state(jax.random.key(0))
     mgr = CheckpointManager(args.ckpt_dir)
-    restored = mgr.restore(state)
+    restored = mgr.restore(state, params_only=True)
     if restored is not None:
         state = restored
         print(f"restored step {int(state.step)}")

@@ -31,7 +31,7 @@ def main():
     tr = PerActTrainer(cfg)
     state = tr.init_state(jax.random.key(0))
     if args.ckpt_dir:
-        restored = CheckpointManager(args.ckpt_dir).restore(state)
+        restored = CheckpointManager(args.ckpt_dir).restore(state, params_only=True)
         if restored is not None:
             state = restored
             print(f"restored step {int(state.step)}")

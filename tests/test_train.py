@@ -134,3 +134,33 @@ def test_tokenize_simple():
     # deterministic
     np.testing.assert_array_equal(toks, tokenize_simple(
         ["turn the faucet", "open the top oven door"]))
+
+
+def test_ckpt_params_only_restore_across_optimizers(tmp_path):
+    """Eval restores must survive optimizer/schedule changes: a checkpoint
+    saved under one optax chain restores params/extra/step into a state
+    built with a different chain (round-4 regression: the cosine schedule
+    changed opt_state's structure and broke eval_quality on round-3
+    checkpoints)."""
+    import jax
+    import jax.numpy as jnp
+    from real_robot_nerf_actor_tpu.train.trainer import (
+        CheckpointManager, OptimConfig, TrainState, make_optimizer)
+
+    params = {"w": jnp.arange(4.0)}
+    tx1 = make_optimizer(OptimConfig(lr=1e-3))
+    st1 = TrainState(step=jnp.int32(7), params=params,
+                     opt_state=tx1.init(params), extra={"e": jnp.zeros(2)})
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(7, st1)
+    tx2 = make_optimizer(OptimConfig(lr=1e-3, schedule="cosine",
+                                     warmup_steps=10, decay_steps=100))
+    like = TrainState(step=jnp.int32(0), params={"w": jnp.zeros(4)},
+                      opt_state=tx2.init(params), extra={"e": jnp.ones(2)})
+    out = mgr.restore(like, params_only=True)
+    assert int(out.step) == 7
+    assert jnp.allclose(out.params["w"], params["w"])
+    assert jnp.allclose(out.extra["e"], 0.0)
+    # opt_state keeps the caller's (fresh) structure
+    assert jax.tree_util.tree_structure(out.opt_state) == \
+        jax.tree_util.tree_structure(like.opt_state)
