@@ -170,15 +170,31 @@ class CheckpointManager:
         # build the restore target's opt_state from the CHECKPOINT's own
         # structure metadata (whatever optimizer it was trained with),
         # then throw that subtree away
+        # restores must work across devices too (a TPU-trained checkpoint
+        # evaluated on CPU): never trust the saved shardings
+        local = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
         meta = self._mgr.item_metadata(step)
-        meta_opt = meta.tree["opt_state"] if hasattr(meta, "tree") \
-            else meta["opt_state"]
-        skeleton = jax.tree_util.tree_map(
-            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta_opt,
-            is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"))
-        partial = self._mgr.restore(step, args=ocp.args.StandardRestore(
-            state_like.replace(opt_state=skeleton)))
-        return partial.replace(opt_state=state_like.opt_state)
+        meta_tree = getattr(meta, "tree", meta)
+        if meta_tree is not None:
+            skeleton = jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                               sharding=local),
+                meta_tree["opt_state"],
+                is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"))
+            partial = self._mgr.restore(step, args=ocp.args.StandardRestore(
+                state_like.replace(opt_state=skeleton),
+                fallback_sharding=local))
+            return partial.replace(opt_state=state_like.opt_state)
+        # older checkpoints carry no structure metadata: raw restore (the
+        # saved tree comes back as plain dicts), pick the non-optimizer
+        # fields out of it
+        raw = self._mgr.restore(step, args=ocp.args.StandardRestore(
+            None, fallback_sharding=local))
+        if isinstance(raw, dict) and "params" not in raw and raw:
+            raw = next(iter(raw.values()))       # composite {'default': ...}
+        return state_like.replace(
+            step=jnp.asarray(raw["step"]), params=raw["params"],
+            extra=raw.get("extra", state_like.extra))
 
 
 class Trainer:
