@@ -1,0 +1,47 @@
+"""Stall watchdog (scripts/supervise.py): detect staleness, kill the
+process group, restart; exit cleanly with the child."""
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_supervise_restarts_stalled_child_then_finishes(tmp_path):
+    log = tmp_path / "run.log"
+    marker = tmp_path / "attempt"
+    # the child stalls forever on its first run and finishes on the second
+    child = tmp_path / "child.py"
+    child.write_text(f"""
+import os, sys, time
+m = {str(repr(str(marker)))}
+n = int(open(m).read()) if os.path.exists(m) else 0
+open(m, "w").write(str(n + 1))
+print("hello run", n, flush=True)
+if n == 0:
+    time.sleep(3600)     # stall: no further log writes
+print("done", flush=True)
+""")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "supervise.py"),
+         "--log", str(log), "--stale-secs", "3", "--poll-secs", "1",
+         "--max-restarts", "3", "--", sys.executable, str(child)],
+        capture_output=True, text=True, timeout=120)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert open(marker).read() == "2"          # ran twice
+    body = log.read_text()
+    assert "stall detected" in body
+    assert "done" in body
+    assert "restart 1" in body
+
+
+def test_supervise_passes_through_clean_exit(tmp_path):
+    log = tmp_path / "run.log"
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "supervise.py"),
+         "--log", str(log), "--stale-secs", "30", "--",
+         sys.executable, "-c", "print('ok')"],
+        capture_output=True, text=True, timeout=60)
+    assert p.returncode == 0
+    assert "ok" in log.read_text()
