@@ -112,6 +112,17 @@ class RendererConfig:
     # field's own sigma (prepare_occupancy_from_field) — self-consistent
     # with whatever geometry the field actually learned
     occ_source: str = "voxel"           # "voxel" | "field"
+    # occupancy serving REQUIRES a bounded-domain field: an unbounded
+    # checkpoint (mask_outside=False — the reference's shipped
+    # nerfact.conf) can park most of each ray's opacity PAST the coord-box
+    # exit, and tightening cuts exactly that mass. Measured round 4 on the
+    # unmasked round-3 ckpt: EVERY occ source (voxel/field/auto) collapses
+    # identically to PSNR 15.7 vs 28.0
+    # (artifacts/round3_flagship/quality_occsources.json) — the failure is
+    # the tighten itself, not the source. With this flag (default),
+    # prepare() refuses occupancy mode on unbounded fields and serving
+    # falls back to stratified sampling (render_rays with occ=None).
+    occ_require_bounded: bool = True
     occ_field_probes: int = 8           # jittered sigma probes per pooled cell
     occ_alpha_thresh: float = 0.01      # opacity over one cell-sized step
     # the embed head is linear, so compositing the last hidden and applying
@@ -336,6 +347,16 @@ class NeuralRenderer:
             away mass that either source says is there.
         """
         if self.cfg.sampling_mode != "occupancy":
+            return None
+        if self.cfg.occ_require_bounded and not self.cfg.field.mask_outside:
+            import warnings
+            warnings.warn(
+                "occupancy serving requires a bounded-domain field "
+                "(field.mask_outside=True): on an unbounded checkpoint the "
+                "ray tighten cuts out-of-box density regardless of "
+                "occ_source (measured PSNR 15.7 vs 28.0) — falling back to "
+                "stratified sampling. Set occ_require_bounded=False to "
+                "force.", stacklevel=2)
             return None
         src = self.cfg.occ_source
         if src == "voxel":

@@ -208,7 +208,8 @@ def main():
             rend, "_cull", False)
         occ = rend.prepare({"params": state.params["nerf"]}, voxel_feat[:1],
                            occupancy=occ_channel)
-        plan = rend.plan_rays(occ, pose, focal) if do_cull else None
+        plan = (rend.plan_rays(occ, pose, focal)
+                if do_cull and occ is not None else None)
         rgb, embed, depth = rend.render_image(
             {"params": state.params["nerf"]}, voxel_feat[:1], pose, focal,
             jax.random.key(7), occ=occ, plan=plan)
@@ -220,8 +221,8 @@ def main():
         if do_cull:
             entry["cull_active_frac"] = plan.n_active / plan.n_total
         if has_holdout_view:
-            plan_h = (rend.plan_rays(occ, hpose, focal) if do_cull
-                      else None)
+            plan_h = (rend.plan_rays(occ, hpose, focal)
+                      if do_cull and occ is not None else None)
             rgb_h, _, _ = rend.render_image(
                 {"params": state.params["nerf"]}, voxel_feat[:1], hpose,
                 focal, jax.random.key(7), occ=occ, plan=plan_h)

@@ -281,3 +281,38 @@ def test_ray_plan_culled_render_matches_unculled():
     # sampling jitter on hit rays
     assert float(np.abs(np.asarray(rgb_b)[hit] -
                         np.asarray(rgb_a)[hit]).max()) < 0.15
+
+
+def test_prepare_refuses_unbounded_field():
+    """Occupancy serving on an UNBOUNDED checkpoint (mask_outside=False,
+    the reference's shipped nerfact.conf) must fall back to stratified
+    sampling: the ray tighten cuts out-of-box density regardless of
+    occ_source — measured on the unmasked round-3 flagship, every source
+    collapsed identically to PSNR 15.7 vs 28.0
+    (artifacts/round3_flagship/quality_occsources.json)."""
+    import dataclasses
+    import warnings
+    from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
+    from real_robot_nerf_actor_tpu.render import (NeuralRenderer,
+                                                  RendererConfig)
+
+    cfg = RendererConfig(
+        image_width=8, image_height=8, n_coarse=4, n_fine=0,
+        sampling_mode="occupancy", occ_pool=2,
+        field=NerfFieldConfig(d_latent=4, d_embed=4, d_hidden=16,
+                              n_blocks=2, combine_layer=1,
+                              coord_bounds=(0, 0, 0, 1, 1, 1),
+                              mask_outside=False))
+    r = NeuralRenderer(cfg)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        occ = r.prepare(occupancy=jnp.ones((8, 8, 8)))
+    assert occ is None
+    assert any("bounded-domain" in str(x.message) for x in w)
+    # bounded field: prepare dispatches normally
+    r2 = NeuralRenderer(dataclasses.replace(
+        cfg, field=dataclasses.replace(cfg.field, mask_outside=True)))
+    assert r2.prepare(occupancy=jnp.ones((8, 8, 8))) is not None
+    # explicit override keeps the old behavior
+    r3 = NeuralRenderer(dataclasses.replace(cfg, occ_require_bounded=False))
+    assert r3.prepare(occupancy=jnp.ones((8, 8, 8))) is not None
