@@ -309,7 +309,7 @@ class NerfActTrainer(PerActTrainer):
         def eval_fn(state, step):
             metrics = self.render_eval(state, step, batch=eval_batch,
                                        save_dir=save_dir)
-            stats = {True: [0, 0, 0, 0, []], False: [0, 0, 0, 0, []]}
+            stats = {True: [0, 0, 0, 0, [], 0], False: [0, 0, 0, 0, [], 0]}
             for d, k, pts, cols, valid, proprio, want in transitions:
                 got_t, got_rg = decode(state.params["policy"], state.extra,
                                        pts, cols, valid, proprio)
@@ -323,16 +323,24 @@ class NerfActTrainer(PerActTrainer):
                 s[3] += int(got_rg[3] == want["rot_grip"][3])
                 s[4].append(float(np.linalg.norm(
                     got_t - np.asarray(want["trans"]))))
-            n, ex, rot1, grip, dists = stats[True]
+                # within-1-voxel (9 mm): GT that sits exactly on a voxel
+                # boundary makes exact-match a coin flip (the reference
+                # evaluates continuous positions, not voxel ids)
+                s[5] += int((np.abs(got_t - np.asarray(want["trans"]))
+                             <= 1).all())
+            n, ex, rot1, grip, dists, near = stats[True]
             metrics.update(
                 bc_train_exact=ex / n,
+                bc_train_within1=near / n,
                 bc_train_dist=float(np.mean(dists)),
                 bc_train_rot1=rot1 / n, bc_train_grip=grip / n)
-            metrics["bc_score"] = ex / n - float(np.mean(dists)) / 500.0
+            metrics["bc_score"] = (ex / n + near / n) / 2.0 \
+                - float(np.mean(dists)) / 500.0
             if stats[False][0]:
-                n2, ex2, rot2, grip2, dists2 = stats[False]
+                n2, ex2, rot2, grip2, dists2, near2 = stats[False]
                 metrics.update(
                     bc_holdout_exact=ex2 / n2,
+                    bc_holdout_within1=near2 / n2,
                     bc_holdout_dist=float(np.mean(dists2)),
                     bc_holdout_rot1=rot2 / n2, bc_holdout_grip=grip2 / n2)
             if holdout_view is not None:
