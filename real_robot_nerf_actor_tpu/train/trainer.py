@@ -262,7 +262,15 @@ class Trainer:
         state = self._init_state(init_rng)
         start = 0
         if resume and self.ckpt is not None:
-            restored = self.ckpt.restore(state)
+            try:
+                restored = self.ckpt.restore(state)
+            except ValueError as e:
+                # optimizer changed since the checkpoint was written (e.g.
+                # a fine-tune adds MultiSteps accumulation): carry the
+                # params/extra/step over and warm the optimizer fresh
+                print("[trainer] full-state resume failed "
+                      f"({type(e).__name__}); retrying params-only")
+                restored = self.ckpt.restore(state, params_only=True)
             if restored is not None:
                 state = restored
                 start = int(state.step)
