@@ -135,6 +135,49 @@ class ShuffleTransposeConv3D(nn.Module):
         return voxel_shuffle_3d(y, s, co)
 
 
+class ZDecomposedConv3D(nn.Module):
+    """k3/s1 3-D conv as three 2-D convs over (H, W) slabs plus z-shifted
+    adds: out[z] = sum_dz conv2d(x[z+dz-1], K[dz]). Exact; param-tree
+    compatible with nn.Conv ("kernel" (3,3,3,Cin,Cout), "bias" (Cout,)).
+
+    Rationale: XLA TPU assigns 3-D convs at 100^3 split-spatial layouts and
+    pays ~1 ms whole-tensor copies at every junction (BENCH_NOTES round 2);
+    2-D convs with the depth axis folded into the batch keep the canonical
+    image layout. Supports 'zeros' and 'replicate' padding."""
+
+    features: int
+    kernel_init: Any
+    padding: str = "zeros"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, cin = x.shape
+        co = self.features
+        kernel = self.param("kernel", self.kernel_init, (3, 3, 3, cin, co))
+        bias = self.param("bias", nn.initializers.zeros, (co,))
+        dt = self.dtype
+        mode = "edge" if self.padding == "replicate" else "constant"
+        # pad z (+h,w for replicate, which conv2d SAME can't express)
+        if self.padding == "replicate":
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)),
+                         mode=mode)
+            conv_pad = "VALID"
+        else:
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+            conv_pad = "SAME"
+        xp = xp.reshape((b * (d + 2),) + xp.shape[2:]).astype(dt)
+        out = None
+        for dz in range(3):
+            c = jax.lax.conv_general_dilated(
+                xp, kernel[dz].astype(dt), window_strides=(1, 1),
+                padding=conv_pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            c = c.reshape(b, d + 2, h, w, co)[:, dz:dz + d]
+            out = c if out is None else out + c
+        out = out + bias.astype(out.dtype)
+        return out
+
+
 class Conv3DBlock(nn.Module):
     """3-D conv + activation. padding='replicate' matches the reference's
     edge padding exactly but materializes a padded copy (a 0.5 GB HBM pass
@@ -147,10 +190,15 @@ class Conv3DBlock(nn.Module):
     activation: Optional[str] = None
     dtype: Any = jnp.float32
     padding: str = "replicate"
-    backend: str = "xla"        # "xla" | "pallas" (k3/s1/zeros only)
+    backend: str = "xla"        # "xla" | "pallas" | "conv2d" (k3/s1 only)
 
     @nn.compact
     def __call__(self, x):
+        if (self.backend == "conv2d" and self.kernel_size == 3
+                and self.stride == 1):
+            y = ZDecomposedConv3D(self.features, init_for(self.activation),
+                                  self.padding, self.dtype, name="Conv_0")(x)
+            return act_fn(self.activation)(y)
         if (self.backend == "pallas" and self.kernel_size == 3
                 and self.stride == 1 and self.padding == "zeros"):
             from real_robot_nerf_actor_tpu.ops.conv3d_pallas import conv3d_k3

@@ -45,3 +45,19 @@ def test_conv3d_pallas_bf16():
                      np.zeros(8, np.float32))
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_zdecomposed_conv2d_backend_matches_xla():
+    """conv_backend='conv2d' (three z-shifted 2-D convs) is exact vs the
+    XLA 3-D conv under both padding modes, sharing the same param tree."""
+    from real_robot_nerf_actor_tpu.models.blocks import Conv3DBlock
+    x = jax.random.normal(jax.random.key(1), (2, 7, 9, 11, 16))
+    for pad in ("zeros", "replicate"):
+        ref = Conv3DBlock(8, 3, 1, "lrelu", padding=pad)
+        new = Conv3DBlock(8, 3, 1, "lrelu", padding=pad, backend="conv2d")
+        p = ref.init(jax.random.key(0), x)
+        assert (jax.tree_util.tree_structure(p)
+                == jax.tree_util.tree_structure(new.init(jax.random.key(0), x)))
+        np.testing.assert_allclose(np.asarray(new.apply(p, x)),
+                                   np.asarray(ref.apply(p, x)),
+                                   rtol=1e-5, atol=1e-5)
