@@ -24,6 +24,7 @@ import optax
 from real_robot_nerf_actor_tpu.models import PerceiverConfig
 from real_robot_nerf_actor_tpu.ops import voxelize, apply_se3_augmentation
 from real_robot_nerf_actor_tpu.ops.action_codec import DiscreteAction
+from real_robot_nerf_actor_tpu.ops.geometry import point_to_voxel_index
 from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
 from real_robot_nerf_actor_tpu.train.peract import PerActConfig, PerActTrainer, bc_losses
 from real_robot_nerf_actor_tpu.train.trainer import TrainState, Trainer
@@ -74,15 +75,23 @@ class NerfActTrainer(PerActTrainer):
                     key, pts[None], kf, self.bounds,
                     jnp.asarray(c.trans_aug_range), c.model.voxel_size)
 
-            keys = jax.random.split(k_aug, b)
-            aug = jax.vmap(aug_one)(keys, batch["points"], batch["kf_xyz"])
-            points = aug.pcd[:, 0]
-            action_trans = aug.action_trans[:, 1]
-            proprio_trans = aug.action_trans[:, 0]
-            # camera follows the scene shift (perturb_se3_camera_pose analog,
-            # train_nerfact_multi_kitchen.py:257-316): same translation
-            # applied to the pose origin keeps pixels aligned
-            gt_pose = batch["gt_pose"].at[:, :3, 3].add(aug.shift)
+            if c.use_se3_aug:
+                keys = jax.random.split(k_aug, b)
+                aug = jax.vmap(aug_one)(keys, batch["points"],
+                                        batch["kf_xyz"])
+                points = aug.pcd[:, 0]
+                action_trans = aug.action_trans[:, 1]
+                proprio_trans = aug.action_trans[:, 0]
+                # camera follows the scene shift (perturb_se3_camera_pose
+                # analog, train_nerfact_multi_kitchen.py:257-316): same
+                # translation applied to the pose origin keeps pixels aligned
+                gt_pose = batch["gt_pose"].at[:, :3, 3].add(aug.shift)
+            else:
+                points = batch["points"]
+                idx = point_to_voxel_index(batch["kf_xyz"],
+                                           c.model.voxel_size, self.bounds)
+                action_trans, proprio_trans = idx[:, 1], idx[:, 0]
+                gt_pose = batch["gt_pose"]
 
             proprio = jnp.concatenate(
                 [proprio_trans.astype(jnp.float32), batch["proprio"][:, 3:]],

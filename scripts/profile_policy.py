@@ -69,6 +69,13 @@ def main():
     ap.add_argument("--n-inner", type=int, default=4)
     ap.add_argument("--upsample-mode", default=None,
                     help="override PerceiverConfig.upsample_mode")
+    ap.add_argument("--conv-backend", default=None,
+                    help="override PerceiverConfig.conv_backend "
+                         "(xla|pallas|conv2d)")
+    ap.add_argument("--pointwise", action="store_true",
+                    help="enable blocks.POINTWISE_LOWERING")
+    ap.add_argument("--shuffle-transpose", action="store_true",
+                    help="enable blocks.SHUFFLE_TRANSPOSE_LOWERING")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
@@ -84,6 +91,12 @@ def main():
               compute_dtype=args.dtype)
     if args.upsample_mode:
         kw["upsample_mode"] = args.upsample_mode
+    if args.conv_backend:
+        kw["conv_backend"] = args.conv_backend
+    if args.pointwise or args.shuffle_transpose:
+        from real_robot_nerf_actor_tpu.models import blocks
+        blocks.POINTWISE_LOWERING = args.pointwise
+        blocks.SHUFFLE_TRANSPOSE_LOWERING = args.shuffle_transpose
     cfg = PerceiverConfig(**kw)
     net = PerceiverIO(cfg)
     v = cfg.voxel_size

@@ -164,3 +164,41 @@ def test_ckpt_params_only_restore_across_optimizers(tmp_path):
     # opt_state keeps the caller's (fresh) structure
     assert jax.tree_util.tree_structure(out.opt_state) == \
         jax.tree_util.tree_structure(like.opt_state)
+
+
+def test_nerfact_respects_use_se3_aug_flag():
+    """peract.use_se3_aug=False must take the unperturbed branch in the
+    joint trainer too (round 4: the flag was silently ignored there)."""
+    cfg = NerfActConfig(
+        peract=tiny_peract().__class__(
+            model=PerceiverConfig(depth=1, voxel_size=10, num_latents=16,
+                                  latent_dim=32, im_channels=8,
+                                  cross_dim_head=8, latent_dim_head=8,
+                                  latent_heads=2, voxel_patch_size=5,
+                                  final_dim=8, lang_emb_dim=16,
+                                  lang_max_seq_len=4, num_rotation_classes=72,
+                                  input_encoder="unet",
+                                  return_voxel_feat=True),
+            voxelizer=VoxelizerSpec(voxel_size=10, feature_size=3,
+                                    max_num_coords=2000),
+            coord_bounds=BOUNDS, use_se3_aug=False,
+            train=TrainConfig(num_steps=2, optim=OptimConfig(lr=1e-3))),
+        renderer=RendererConfig(
+            image_width=8, image_height=6, n_coarse=6, n_fine=4,
+            n_fine_depth=2, ray_chunk_size=8,
+            field=NerfFieldConfig(d_latent=8, d_embed=4, d_hidden=16,
+                                  n_blocks=2, combine_layer=1,
+                                  coord_bounds=BOUNDS)))
+    tr = NerfActTrainer(cfg)
+    data = _truncate_points(tr.synthetic_data(batch_size=1))
+    state = tr.init_state(jax.random.key(0))
+    batch = next(data)
+    # with aug disabled, two different rng keys must produce the same BC
+    # losses (the rng only feeds aug + render-ray sampling; pin the latter
+    # by comparing the BC components only)
+    step = jax.jit(tr.train_step)
+    _, m1 = step(state, batch, jax.random.key(1))
+    _, m2 = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(m1["loss_total"]))
+    np.testing.assert_allclose(float(m1["loss_trans"]),
+                               float(m2["loss_trans"]), rtol=1e-5)
