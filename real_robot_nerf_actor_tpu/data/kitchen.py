@@ -41,8 +41,8 @@ def write_kitchen_demos(out: str, n_demos: int = 5, n_keyframes: int = 5,
                         focal: float = 76.18, seed: int = 0,
                         d_embed: int = 512, write_embeds: bool = True,
                         write_depth: bool = True, n_points: int = 60000,
-                        camera_eye: Optional[Tuple[float, float, float]] = None
-                        ) -> dict:
+                        camera_eye: Optional[Tuple[float, float, float]] = None,
+                        n_train_views: int = 1) -> dict:
     """Write a kitchen of `n_demos` demos in the reference data layout.
 
     image_hw/focal default to the reference's 80x60 @ 76.18
@@ -71,6 +71,17 @@ def write_kitchen_demos(out: str, n_demos: int = 5, n_keyframes: int = 5,
     eye_h = center + np.array([-0.35, -1.05, 0.9])
     holdout_pose = _look_at(eye_h.astype(np.float32),
                             center.astype(np.float32))
+    # extra TRAIN views (multi-view GT supervision; n_train_views > 1):
+    # rotated about the scene center at the same range, always distinct
+    # from the holdout camera. Single-GT-view training with viewdirs in
+    # the MLP trunk (reference parity) collapses density along unseen
+    # directions (BENCH_NOTES round 4); extra views regularize it.
+    extra_eyes = [center + np.array([1.15, 0.25, 0.8]),
+                  center + np.array([0.35, -1.1, 0.75]),
+                  center + np.array([-0.9, -0.6, 0.95])]
+    train_poses = [pose_gl] + [
+        _look_at(e.astype(np.float32), center.astype(np.float32))
+        for e in extra_eyes[:max(0, n_train_views - 1)]]
 
     calib = {
         "cam2base": cam2base_cv.tolist(),
@@ -80,6 +91,9 @@ def write_kitchen_demos(out: str, n_demos: int = 5, n_keyframes: int = 5,
         "image_hw": [int(h), int(w)],
         "embed_dim": int(d_embed) if write_embeds else 0,
     }
+    if n_train_views > 1:
+        calib["train_poses"] = [p.astype(np.float64).tolist()
+                                for p in train_poses]
     with open(os.path.join(out, "calibration.json"), "w") as f:
         json.dump(calib, f, indent=1)
 
@@ -103,23 +117,25 @@ def write_kitchen_demos(out: str, n_demos: int = 5, n_keyframes: int = 5,
                       (cols + 1.0) / 2.0)
             gripper = (demo.xyz[k][None], GRIPPER_HALF[None],
                        GRIPPER_COLOR[None])
-            rgb, depth, xyz, mask = raytrace_views(
-                scene, pose_gl[None], h, w, focal, extra_boxes=gripper)
-            img = Image.fromarray(
-                np.clip(rgb[0] * 255.0 + 0.5, 0, 255).astype(np.uint8))
-            img.save(os.path.join(ddir, f"rgb{k}.png"))
+            for v, pose_v in enumerate(train_poses[:max(1, n_train_views)]):
+                sfx = "" if v == 0 else f"_v{v}"
+                rgb, depth, xyz, mask = raytrace_views(
+                    scene, pose_v[None], h, w, focal, extra_boxes=gripper)
+                Image.fromarray(
+                    np.clip(rgb[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                ).save(os.path.join(ddir, f"rgb{k}{sfx}.png"))
+                if write_depth:
+                    np.save(os.path.join(ddir, f"depth{k}{sfx}.npy"),
+                            depth[0].astype(np.float16))
+                if write_embeds:
+                    emb = teacher_embed(xyz[0], rgb[0], mask[0], d_embed)
+                    np.save(os.path.join(ddir, f"embed{k}{sfx}.npy"),
+                            emb.astype(np.float16))
             rgb_h, _, _, _ = raytrace_views(
                 scene, holdout_pose[None], h, w, focal, extra_boxes=gripper)
             Image.fromarray(
                 np.clip(rgb_h[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
             ).save(os.path.join(ddir, f"holdout{k}.png"))
-            if write_depth:
-                np.save(os.path.join(ddir, f"depth{k}.npy"),
-                        depth[0].astype(np.float16))
-            if write_embeds:
-                emb = teacher_embed(xyz[0], rgb[0], mask[0], d_embed)
-                np.save(os.path.join(ddir, f"embed{k}.npy"),
-                        emb.astype(np.float16))
     return calib
 
 

@@ -222,19 +222,31 @@ class ReplaySource:
             np.float32) / 255.0
         return {"rgb": rgb, "pose": self.holdout_pose, "focal": self.focal}
 
-    def view(self, demo: int, k: int) -> dict:
-        """GT view for keyframe k: {'rgb' (H,W,3) in [0,1], 'pose' (4,4),
-        'focal', and optionally 'embed' (H,W,D), 'depth' (H,W)}."""
+    @property
+    def n_train_views(self) -> int:
+        """Number of distinct GT training cameras (multi-view recordings
+        write rgb{k}_v{j}.png + calibration train_poses; single-view = 1)."""
+        return max(1, len(self.calibration.get("train_poses", [])))
+
+    def train_pose(self, v: int = 0) -> np.ndarray:
+        tp = self.calibration.get("train_poses")
+        return (np.asarray(tp[v], np.float32) if tp else self.gt_pose)
+
+    def view(self, demo: int, k: int, v: int = 0) -> dict:
+        """GT view for keyframe k (camera v): {'rgb' (H,W,3) in [0,1],
+        'pose' (4,4), 'focal', and optionally 'embed' (H,W,D),
+        'depth' (H,W)}."""
         from PIL import Image
         ddir = os.path.join(self.root, f"real{demo}")
+        sfx = "" if v == 0 else f"_v{v}"
         rgb = np.asarray(
-            Image.open(os.path.join(ddir, f"rgb{k}.png")).convert("RGB"),
+            Image.open(os.path.join(ddir, f"rgb{k}{sfx}.png")).convert("RGB"),
             np.float32) / 255.0
-        out = {"rgb": rgb, "pose": self.gt_pose, "focal": self.focal}
-        epath = os.path.join(ddir, f"embed{k}.npy")
+        out = {"rgb": rgb, "pose": self.train_pose(v), "focal": self.focal}
+        epath = os.path.join(ddir, f"embed{k}{sfx}.npy")
         if os.path.exists(epath):
             out["embed"] = np.load(epath).astype(np.float32)
-        dpath = os.path.join(ddir, f"depth{k}.npy")
+        dpath = os.path.join(ddir, f"depth{k}{sfx}.npy")
         if os.path.exists(dpath):
             out["depth"] = np.load(dpath).astype(np.float32)
         return out

@@ -288,14 +288,18 @@ class PerActTrainer:
                 clouds[(d, k)] = (jnp.asarray(pts), jnp.asarray(cols),
                                   jnp.asarray(valid))
                 if with_views:
-                    v = src.view(d, k)
-                    dv = {"gt_rgb": jnp.asarray(v["rgb"])}
-                    if "embed" in v:
-                        dv["gt_embed"] = jnp.asarray(v["embed"])
-                    if "depth" in v:
-                        dv["gt_depth"] = jnp.asarray(v["depth"])
-                    views[(d, k)] = dv
-        gt_pose = jnp.asarray(src.gt_pose) if with_views else None
+                    for vi in range(src.n_train_views):
+                        v = src.view(d, k, vi)
+                        dv = {"gt_rgb": jnp.asarray(v["rgb"])}
+                        if "embed" in v:
+                            dv["gt_embed"] = jnp.asarray(v["embed"])
+                        if "depth" in v:
+                            dv["gt_depth"] = jnp.asarray(v["depth"])
+                        views[(d, k, vi)] = dv
+        n_views = src.n_train_views if with_views else 1
+        gt_poses = (jnp.asarray(np.stack(
+            [src.train_pose(vi) for vi in range(n_views)]))
+            if with_views else None)
         focal = (jnp.full((1,), src.focal, jnp.float32) if with_views
                  else None)
 
@@ -320,14 +324,14 @@ class PerActTrainer:
                 out["rot_grip"].append(rg_all[k + 1])
                 out["collision"].append(coll_all[k + 1])
                 if with_views:
-                    for key, arr in views[(d, k)].items():
+                    vi = int(rng.integers(0, n_views))
+                    for key, arr in views[(d, k, vi)].items():
                         vout.setdefault(key, []).append(arr)
+                    vout.setdefault("gt_pose", []).append(gt_poses[vi])
             batch = {k: jnp.stack(v) for k, v in out.items()}
             for key, arrs in vout.items():
                 batch[key] = jnp.stack(arrs)
             if with_views:
-                batch["gt_pose"] = jnp.broadcast_to(
-                    gt_pose, (batch_size, 4, 4))
                 batch["focal"] = jnp.broadcast_to(focal, (batch_size,))
             yield batch
 

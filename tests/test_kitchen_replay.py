@@ -208,3 +208,48 @@ def test_int8_matmul_not_differentiable():
                                np.full((4, 8), 8.0), rtol=1e-2)
     with pytest.raises(NotImplementedError, match="serving-only"):
         jax.grad(lambda w: int8_matmul(x, w).sum())(w)
+
+
+def test_multiview_kitchen_replay(tmp_path):
+    """n_train_views>1 records extra GT cameras (rgb{k}_v{j}.png +
+    calibration train_poses) and replay_data samples per-element gt_pose
+    from them (round 4: multi-view supervision fixes the single-view
+    density collapse documented in BENCH_NOTES)."""
+    import jax.numpy as jnp
+    d = str(tmp_path / "mv")
+    write_kitchen_demos(d, n_demos=1, n_keyframes=3, image_hw=(24, 32),
+                        focal=30.0, d_embed=8, n_points=4000,
+                        n_train_views=3)
+    src = ReplaySource(d, 1)
+    assert src.n_train_views == 3
+    assert os.path.exists(os.path.join(d, "real0", "rgb0_v2.png"))
+    p0, p1 = src.train_pose(0), src.train_pose(1)
+    assert not np.allclose(p0, p1)
+    np.testing.assert_allclose(p0, src.gt_pose)
+    v1 = src.view(0, 0, v=1)
+    v0 = src.view(0, 0, v=0)
+    assert v1["rgb"].shape == v0["rgb"].shape
+    assert np.abs(v1["rgb"] - v0["rgb"]).max() > 0.05  # genuinely new view
+    np.testing.assert_allclose(v1["pose"], p1)
+
+    from real_robot_nerf_actor_tpu.train import PerActConfig, PerActTrainer
+    from real_robot_nerf_actor_tpu.models import PerceiverConfig
+    from real_robot_nerf_actor_tpu.ops import VoxelizerSpec
+    cfg = PerActConfig(
+        model=PerceiverConfig(depth=1, voxel_size=10, num_latents=8,
+                              latent_dim=16, im_channels=8, cross_dim_head=8,
+                              latent_dim_head=8, latent_heads=2,
+                              voxel_patch_size=5, final_dim=8,
+                              lang_emb_dim=8, lang_max_seq_len=4),
+        voxelizer=VoxelizerSpec(voxel_size=10, feature_size=3,
+                                max_num_coords=512))
+    tr = PerActTrainer(cfg)
+    gen = tr.replay_data(d, 1, batch_size=4, with_views=True, seed=3)
+    poses = np.asarray(next(gen)["gt_pose"])
+    train_poses = np.stack([src.train_pose(v) for v in range(3)])
+    for p in poses:   # every sampled pose is one of the declared cameras
+        assert min(np.abs(train_poses - p).max(axis=(1, 2))) < 1e-6
+    # across a few batches, more than one camera appears
+    seen = {int(np.abs(train_poses - p).max(axis=(1, 2)).argmin())
+            for _ in range(4) for p in np.asarray(next(gen)["gt_pose"])}
+    assert len(seen) > 1
