@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--keyframes", type=int, default=5)
     ap.add_argument("--d-embed", type=int, default=512)
     ap.add_argument("--no-embeds", action="store_true")
+    ap.add_argument("--train-views", type=int, default=1,
+                    help="extra GT training cameras (multi-view GT "
+                         "supervision; holdout camera always excluded)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -37,7 +40,8 @@ def main():
         write_kitchen_demos(
             args.out, n_demos=args.n, n_keyframes=args.keyframes,
             image_hw=tuple(args.image_hw), focal=args.focal, seed=args.seed,
-            d_embed=args.d_embed, write_embeds=not args.no_embeds)
+            d_embed=args.d_embed, write_embeds=not args.no_embeds,
+            n_train_views=args.train_views)
         print(f"saved {args.n} kitchen demos x {args.keyframes} keyframes "
               f"-> {args.out}")
     elif args.mode == "demos":
