@@ -152,6 +152,22 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def restore_raw_params(self, step: Optional[int] = None):
+        """The checkpoint's params tree in its OWN structure (no caller
+        template): for cross-config warm starts, e.g. grafting a trained
+        policy subtree into a run whose nerf field changed shape."""
+        import jax
+        import orbax.checkpoint as ocp
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        local = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        raw = self._mgr.restore(step, args=ocp.args.StandardRestore(
+            None, fallback_sharding=local))
+        if isinstance(raw, dict) and "params" not in raw and raw:
+            raw = next(iter(raw.values()))
+        return raw["params"]
+
     def restore(self, state_like: TrainState, step: Optional[int] = None,
                 params_only: bool = False) -> Optional[TrainState]:
         """Full-state restore; with params_only=True only params/extra/step

@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--eval-save-dir", default=None,
                     help="save render panels here every eval interval")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--init-policy-from", default=None,
+                    help="ckpt dir whose params['policy'] subtree seeds a "
+                         "FRESH run (cross-config warm start: keep the "
+                         "trained voxel policy, retrain the nerf field — "
+                         "e.g. a use_viewdirs/multi-view field change)")
     args = ap.parse_args()
 
     from real_robot_nerf_actor_tpu.utils.cache import enable_persistent_cache
@@ -48,6 +53,24 @@ def main():
         cfg, peract=dataclasses.replace(cfg.peract, train=tcfg))
 
     tr = NerfActTrainer(cfg)
+    if args.init_policy_from:
+        import jax
+        import jax.numpy as jnp
+        from real_robot_nerf_actor_tpu.train.trainer import CheckpointManager
+        assert tcfg.ckpt_dir, "--init-policy-from needs --ckpt-dir"
+        mgr = CheckpointManager(tcfg.ckpt_dir)
+        if mgr.latest_step() is None:
+            donor = CheckpointManager(
+                args.init_policy_from).restore_raw_params()
+            assert donor is not None, f"no ckpt in {args.init_policy_from}"
+            _, init_rng = jax.random.split(jax.random.key(tcfg.seed))
+            state = tr.init_state(init_rng)
+            params = dict(state.params)
+            params["policy"] = donor["policy"]
+            mgr.save(0, state.replace(params=params,
+                                      step=jnp.zeros_like(state.step)))
+            print(f"[init] grafted policy subtree from "
+                  f"{args.init_policy_from} into step-0 checkpoint")
     if args.data_root:
         exclude = tuple(int(x) for x in args.exclude_demos.split(",") if x)
         data = tr.replay_data(args.data_root, args.n_demos, args.batch_size,

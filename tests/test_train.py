@@ -202,3 +202,54 @@ def test_nerfact_respects_use_se3_aug_flag():
     assert np.isfinite(float(m1["loss_total"]))
     np.testing.assert_allclose(float(m1["loss_trans"]),
                                float(m2["loss_trans"]), rtol=1e-5)
+
+
+def test_policy_subtree_warm_start(tmp_path):
+    """restore_raw_params reads a checkpoint's params without a caller
+    template, so a trained policy subtree can seed a run whose nerf field
+    changed shape (scripts/train_nerfact.py --init-policy-from)."""
+    from real_robot_nerf_actor_tpu.train.trainer import CheckpointManager
+
+    def make(viewdirs):
+        return NerfActConfig(
+            peract=tiny_peract().__class__(
+                model=PerceiverConfig(depth=1, voxel_size=10, num_latents=16,
+                                      latent_dim=32, im_channels=8,
+                                      cross_dim_head=8, latent_dim_head=8,
+                                      latent_heads=2, voxel_patch_size=5,
+                                      final_dim=8, lang_emb_dim=16,
+                                      lang_max_seq_len=4,
+                                      num_rotation_classes=72,
+                                      input_encoder="unet",
+                                      return_voxel_feat=True),
+                voxelizer=VoxelizerSpec(voxel_size=10, feature_size=3,
+                                        max_num_coords=2000),
+                coord_bounds=BOUNDS,
+                train=TrainConfig(num_steps=1, optim=OptimConfig(lr=1e-3))),
+            renderer=RendererConfig(
+                image_width=8, image_height=6, n_coarse=6, n_fine=4,
+                n_fine_depth=2, ray_chunk_size=8,
+                field=NerfFieldConfig(d_latent=8, d_embed=4, d_hidden=16,
+                                      n_blocks=2, combine_layer=1,
+                                      use_viewdirs=viewdirs,
+                                      coord_bounds=BOUNDS)))
+
+    donor_dir = str(tmp_path / "donor")
+    tr_a = NerfActTrainer(make(True))
+    st_a = tr_a.init_state(jax.random.key(7))
+    CheckpointManager(donor_dir).save(3, st_a)
+
+    raw = CheckpointManager(donor_dir).restore_raw_params()
+    # graft into a DIFFERENT field architecture (no viewdirs)
+    tr_b = NerfActTrainer(make(False))
+    st_b = tr_b.init_state(jax.random.key(0))
+    params = dict(st_b.params)
+    params["policy"] = raw["policy"]
+    st_b = st_b.replace(params=params)
+    p_donor = jax.tree_util.tree_leaves(st_a.params["policy"])[0]
+    p_graft = jax.tree_util.tree_leaves(st_b.params["policy"])[0]
+    np.testing.assert_allclose(np.asarray(p_donor), np.asarray(p_graft))
+    # the grafted state still trains (shapes coherent)
+    data = _truncate_points(tr_b.synthetic_data(batch_size=1))
+    st_b, m = jax.jit(tr_b.train_step)(st_b, next(data), jax.random.key(1))
+    assert np.isfinite(float(m["loss_total"]))
