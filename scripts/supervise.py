@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--log", required=True, help="append child output here; "
                     "its mtime is the liveness signal")
     ap.add_argument("--stale-secs", type=float, default=600.0)
+    ap.add_argument("--startup-grace-secs", type=float, default=3600.0,
+                    help="staleness allowance for this long after each "
+                         "(re)start: a cold compile cache can hold the "
+                         "trainer silent for 30-60 min (remote compile "
+                         "service) after its startup banner, which is "
+                         "liveness, not a stall")
     ap.add_argument("--max-restarts", type=int, default=10)
     ap.add_argument("--poll-secs", type=float, default=30.0)
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
@@ -49,6 +55,7 @@ def main():
             child = subprocess.Popen(cmd, stdout=logf, stderr=logf,
                                      start_new_session=True)
             print(f"[supervise] child pid {child.pid}", flush=True)
+            started_at = time.time()
             while True:
                 rc = child.poll()
                 if rc is not None:
@@ -58,9 +65,12 @@ def main():
                     print(f"[supervise] child exited rc={rc}; restarting")
                     break
                 age = time.time() - os.stat(args.log).st_mtime
-                if age > args.stale_secs:
+                in_grace = time.time() - started_at < args.startup_grace_secs
+                limit = (max(args.stale_secs, args.startup_grace_secs)
+                         if in_grace else args.stale_secs)
+                if age > limit:
                     print(f"[supervise] log stale {age:.0f}s > "
-                          f"{args.stale_secs:.0f}s; killing process group")
+                          f"{limit:.0f}s; killing process group")
                     logf.write(f"[supervise] stall detected ({age:.0f}s "
                                f"stale); killing\n".encode())
                     try:

@@ -26,7 +26,8 @@ print("done", flush=True)
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "supervise.py"),
          "--log", str(log), "--stale-secs", "3", "--poll-secs", "1",
-         "--max-restarts", "3", "--", sys.executable, str(child)],
+         "--startup-grace-secs", "0", "--max-restarts", "3",
+         "--", sys.executable, str(child)],
         capture_output=True, text=True, timeout=120)
     assert p.returncode == 0, p.stdout + p.stderr
     assert open(marker).read() == "2"          # ran twice
