@@ -74,6 +74,14 @@ class PerceiverConfig:
     # pad copies outweigh it: 48.5 vs 41.5 ms full forward) — keep "xla"
     conv_backend: str = "xla"        # "xla" | "pallas" (k3/s1/zeros)
     stats_backend: str = "xla"       # "xla" | "pallas" spatial-softmax stats
+    # scale on the LAST proprio dim (the 0/1 gripper bit). The reference
+    # feeds raw voxel indices (0..100) + rot bins (0..71) + grip (0/1)
+    # straight into proprio_preprocess (train_peract_single_kitchen_
+    # single_task.py:907), leaving the grip input ~1/100 the scale of its
+    # neighbors — at bs=1 the network can stay grip-blind for 40k+ steps
+    # (round-4 forensics: k3 retreat decoded at the grasp voxel). >1
+    # rescales the bit to a comparable magnitude; 1.0 = reference parity.
+    grip_proprio_scale: float = 1.0
 
     @property
     def spatial_size(self) -> int:
@@ -220,6 +228,8 @@ class PerceiverIO(nn.Module):
         # ---- patchify + proprio + language sequence
         ins = PatchifyConv3D(c.im_channels, c.voxel_patch_size, c.activation,
                              dtype=dt, name="patchify")(d0)  # (B, s,s,s, 64)
+        if c.grip_proprio_scale != 1.0:
+            proprio = proprio.at[:, -1].mul(c.grip_proprio_scale)
         p = DenseBlock(c.im_channels, c.activation,
                        name="proprio_preprocess")(proprio)
         p = jnp.broadcast_to(p[:, None, None, None, :], ins.shape[:-1] + (c.im_channels,))

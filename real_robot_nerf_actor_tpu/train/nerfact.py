@@ -166,7 +166,8 @@ class NerfActTrainer(PerActTrainer):
 
     def replay_data(self, root: str, n_demos: int, batch_size: int = 1,
                     seed: int = 0, lang_embs=None,
-                    exclude_demos: Tuple[int, ...] = ()):
+                    exclude_demos: Tuple[int, ...] = (),
+                    sample_mode: str = "uniform"):
         """Joint-training batches from recorded demos (the reference's
         flagship data path, train_nerfact_multi_kitchen.py:1256-1284):
         PerAct fields + per-keyframe GT RGB view/pose/focal
@@ -192,7 +193,8 @@ class NerfActTrainer(PerActTrainer):
                 f"but field.d_embed={rc.field.d_embed}")
         return super().replay_data(root, n_demos, batch_size, seed,
                                    lang_embs, with_views=True,
-                                   exclude_demos=exclude_demos)
+                                   exclude_demos=exclude_demos,
+                                   sample_mode=sample_mode)
 
     # ---------------------------------------------------------------- eval
     def render_eval(self, state: TrainState, step: int,

@@ -32,6 +32,37 @@ from real_robot_nerf_actor_tpu.train.trainer import (
     OptimConfig, TrainConfig, TrainState, Trainer, make_optimizer)
 
 
+def iter_transitions(rng: np.random.Generator, train_demos,
+                     num_transitions, sample_mode: str = "uniform"
+                     ) -> Iterator[Tuple[int, int]]:
+    """Yield (demo, keyframe) pairs forever.
+
+    "uniform": i.i.d. draws (the reference's sampling loop,
+    train_nerfact_multi_kitchen.py:1256-1284). "demo_cycle": emit one
+    random demo's FULL transition set (shuffled) before drawing the next
+    demo — with gradient accumulation equal to transitions-per-demo every
+    optimizer step then averages a whole demo, so keyframe pairs whose
+    inputs differ only in the gripper bit (grasp/retreat) contribute
+    their opposing CE gradients to the SAME update instead of
+    alternating and cancelling across bs=1 steps (BENCH_NOTES round 4).
+
+    num_transitions: demo id -> number of transitions (keyframes - 1).
+    """
+    if sample_mode not in ("uniform", "demo_cycle"):
+        raise ValueError(f"unknown sample_mode {sample_mode!r}")
+    cycle: list = []
+    while True:
+        if sample_mode == "demo_cycle":
+            if not cycle:
+                d = train_demos[int(rng.integers(0, len(train_demos)))]
+                ks = rng.permutation(num_transitions(d))
+                cycle = [(d, int(k)) for k in ks]
+            yield cycle.pop()
+        else:
+            d = train_demos[int(rng.integers(0, len(train_demos)))]
+            yield d, int(rng.integers(0, num_transitions(d)))
+
+
 @dataclasses.dataclass(frozen=True)
 class PerActConfig:
     model: PerceiverConfig = dataclasses.field(default_factory=PerceiverConfig)
@@ -238,7 +269,8 @@ class PerActTrainer:
     def replay_data(self, root: str, n_demos: int, batch_size: int = 1,
                     seed: int = 0, lang_embs: Optional[np.ndarray] = None,
                     with_views: bool = False,
-                    exclude_demos: Tuple[int, ...] = ()
+                    exclude_demos: Tuple[int, ...] = (),
+                    sample_mode: str = "uniform"
                     ) -> Iterator[Dict[str, jnp.ndarray]]:
         """Batches from RECORDED demos in the reference's on-disk layout
         (the --data-root path; reference sampling loop
@@ -254,6 +286,16 @@ class PerActTrainer:
         exclude_demos holds demo ids OUT of training (leave-one-demo-out
         evaluation: eval harnesses decode the excluded demo's transitions
         with a checkpoint that never saw them).
+
+        sample_mode: "uniform" draws (demo, keyframe) i.i.d. per sample
+        (the reference's loop). "demo_cycle" emits one random demo's FULL
+        transition set (shuffled) before drawing the next demo — with
+        gradient accumulation equal to transitions-per-demo every
+        optimizer step then averages a whole demo, so tie-broken pairs
+        (grasp/retreat keyframes whose inputs differ only in the gripper
+        bit) contribute their opposing CE gradients to the SAME update
+        instead of alternating and cancelling across bs=1 steps
+        (round-4 BC forensics, BENCH_NOTES.md).
         """
         from real_robot_nerf_actor_tpu.data.replay import ReplaySource
 
@@ -303,13 +345,15 @@ class PerActTrainer:
         focal = (jnp.full((1,), src.focal, jnp.float32) if with_views
                  else None)
 
+        picks = iter_transitions(rng, train_demos,
+                                 lambda d: src.num_keyframes(d) - 1,
+                                 sample_mode)
         while True:
             out = {k: [] for k in ("points", "colors", "valid", "proprio",
                                    "lang", "kf_xyz", "rot_grip", "collision")}
             vout: Dict[str, list] = {}
             for _ in range(batch_size):
-                d = train_demos[int(rng.integers(0, len(train_demos)))]
-                k = int(rng.integers(0, src.num_keyframes(d) - 1))
+                d, k = next(picks)
                 pts, cols, valid = clouds[(d, k)]
                 rg_all, coll_all = disc[d]
                 out["points"].append(pts)

@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--eval-save-dir", default=None,
                     help="save render panels here every eval interval")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--sample-mode", default="uniform",
+                    choices=["uniform", "demo_cycle"],
+                    help="demo_cycle: emit one demo's full transition set "
+                         "per accumulation window (pairs grasp/retreat "
+                         "gradients in one update; see BENCH_NOTES r4)")
     ap.add_argument("--init-policy-from", default=None,
                     help="ckpt dir whose params['policy'] subtree seeds a "
                          "FRESH run (cross-config warm start: keep the "
@@ -74,7 +79,8 @@ def main():
     if args.data_root:
         exclude = tuple(int(x) for x in args.exclude_demos.split(",") if x)
         data = tr.replay_data(args.data_root, args.n_demos, args.batch_size,
-                              exclude_demos=exclude)
+                              exclude_demos=exclude,
+                              sample_mode=args.sample_mode)
         eval_batch = next(data)  # one fixed batch for the periodic render
         eval_fn = tr.make_replay_eval(args.data_root, args.n_demos,
                                       exclude_demos=exclude,

@@ -185,3 +185,27 @@ def test_quantized_resnetfc_fails_fast_under_grad():
 
     with pytest.raises(NotImplementedError, match="serving-only"):
         jax.grad(loss)(params)
+
+
+def test_grip_proprio_scale_equals_manual_input_scaling():
+    """grip_proprio_scale=s must equal feeding proprio with its last dim
+    pre-multiplied by s into the unscaled model (the knob is pure input
+    scaling at one choke point — train/eval/serving all inherit it), and
+    the default 1.0 is exact parity."""
+    import dataclasses
+    cfg = _tiny_perceiver()
+    net = PerceiverIO(cfg)
+    vox = jnp.ones((1, 10, 10, 10, 10))
+    lang = jnp.ones((1, 5, 16))
+    proprio = jnp.asarray([[3.0, 7.0, 2.0, 11.0, 5.0, 9.0, 1.0]])
+    params = net.init(jax.random.key(0), vox, proprio, lang)
+
+    scaled_net = PerceiverIO(dataclasses.replace(cfg, grip_proprio_scale=50.0))
+    out_knob = scaled_net.apply(params, vox, proprio, lang)
+    manual = proprio.at[:, -1].mul(50.0)
+    out_manual = net.apply(params, vox, manual, lang)
+    for a, b in zip(out_knob, out_manual):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # the knob actually changes the computation when the bit is set
+    out_base = net.apply(params, vox, proprio, lang)
+    assert np.abs(np.asarray(out_knob[1]) - np.asarray(out_base[1])).max() > 0
