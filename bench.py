@@ -499,6 +499,12 @@ def main():
             n_coarse=16, n_fine=8, n_fine_depth=0, n_inner=16, cull=True)
     except Exception:
         cull16_rays = 0.0
+    try:
+        cull12_rays, _ = bench_nerf_render(
+            jax, rt, occupancy=True, mlp_backend="pallas_int8",
+            n_coarse=12, n_fine=6, n_fine_depth=0, n_inner=16, cull=True)
+    except Exception:
+        cull12_rays = 0.0
     actions_per_sec, device_ms, e2e_p50_ms, piped_p50_ms = bench_policy(jax, rt)
     try:
         serve_loop_p50_ms, serve_loop_dev_ms, serve_scan_ms = \
@@ -534,6 +540,7 @@ def main():
                            "parity pallas_bf16 64+32+16 (serve mode failed)",
         "serving_cull24_rays_per_sec": round(cull24_rays, 1),
         "serving_cull16_rays_per_sec": round(cull16_rays, 1),
+        "serving_cull12_rays_per_sec": round(cull12_rays, 1),
         "cull_active_frac": round(cull_frac, 4),
         "parity_rays_per_sec": round(rays_per_sec, 1),
         "parity_vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC,

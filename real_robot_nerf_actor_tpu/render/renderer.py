@@ -125,6 +125,14 @@ class RendererConfig:
     occ_require_bounded: bool = True
     occ_field_probes: int = 8           # jittered sigma probes per pooled cell
     occ_alpha_thresh: float = 0.01      # opacity over one cell-sized step
+    # RayPlan active-ray culling (plan_rays + render_image(plan=...)):
+    # fixed-camera serving drops rays that provably composite to pure
+    # background (miss the occupied AABB) once per (scene, camera) — the
+    # static-shape TPU analog of CUDA per-ray early termination. EXACT vs
+    # the occupancy render on a mask_outside field (test_occupancy.py).
+    # Opt-in: only meaningful for occupancy-mode serving with a camera
+    # that is stable across frames.
+    use_ray_plan: bool = False
     # the embed head is linear, so compositing the last hidden and applying
     # lin_out's embed columns ONCE PER RAY is exact (same params) and skips
     # the per-sample wide matmul + its HBM write; see

@@ -126,16 +126,14 @@ def main():
     base_field = cfg.renderer.field
 
     def variant(name, **kw):
-        cull = kw.pop("cull", False)
+        kw["use_ray_plan"] = kw.pop("cull", False)
         field_kw = {k: v for k, v in kw.items()
                     if k in ("compute_dtype", "mlp_backend")}
         rend_kw = {k: v for k, v in kw.items() if k not in field_kw}
         rcfg = dataclasses.replace(
             cfg.renderer, field=dataclasses.replace(base_field, **field_kw),
             **rend_kw)
-        rend = NeuralRenderer(rcfg)
-        rend._cull = cull   # RayPlan active-ray culling (plan_rays)
-        return name, rend
+        return name, NeuralRenderer(rcfg)
 
     variants = [
         variant("xla_fp32", compute_dtype="float32"),
@@ -204,8 +202,8 @@ def main():
     results = {"step": int(state.step)}
     ref_img = None
     for name, rend in variants:
-        do_cull = rend.cfg.sampling_mode == "occupancy" and getattr(
-            rend, "_cull", False)
+        do_cull = (rend.cfg.sampling_mode == "occupancy"
+                   and rend.cfg.use_ray_plan)
         occ = rend.prepare({"params": state.params["nerf"]}, voxel_feat[:1],
                            occupancy=occ_channel)
         plan = (rend.plan_rays(occ, pose, focal)
