@@ -212,25 +212,35 @@ class FeatureNerfTrainer:
 
     # ---------------------------------------------------------------- data
     def scene_data(self, scenes, seed: int = 0) -> Iterator[Dict[str, jnp.ndarray]]:
+        """Scene batches with everything static staged on device ONCE.
+
+        A scene's images/features/attn maps (~3 MB at 12x128^2+teacher)
+        re-uploaded per step would dominate the host loop on a remote
+        link (every host->device transfer is a ~25-40 ms tunnel round
+        trip — CLAUDE.md); only the tiny per-step src_ord changes."""
         rng = np.random.default_rng(seed)
         nviews = self.cfg.nviews
-        while True:
-            sc = scenes[int(rng.integers(0, len(scenes)))]
-            nv = len(sc.images)
-            ns = min(int(nviews[rng.integers(0, len(nviews))]), nv)
-            batch = {
+        staged = []
+        for sc in scenes:
+            dev = {
                 "images": jnp.asarray(sc.images),
                 "poses": jnp.asarray(sc.poses),
                 "focal": jnp.asarray(sc.focal, jnp.float32),
-                "src_ord": jnp.asarray(
-                    rng.choice(nv, size=ns, replace=False), jnp.int32),
             }
             if sc.features is not None:
-                batch["features"] = jnp.asarray(sc.features)
+                dev["features"] = jnp.asarray(sc.features)
             if getattr(sc, "cls_attn", None) is not None:
                 # Scene stores (N, heads, hf, wf); the step wants NHWC.
-                batch["cls_attn"] = jnp.asarray(
+                dev["cls_attn"] = jnp.asarray(
                     np.asarray(sc.cls_attn).transpose(0, 2, 3, 1))
+            staged.append(dev)
+        while True:
+            dev = staged[int(rng.integers(0, len(staged)))]
+            nv = dev["images"].shape[0]
+            ns = min(int(nviews[rng.integers(0, len(nviews))]), nv)
+            batch = dict(dev)
+            batch["src_ord"] = jnp.asarray(
+                rng.choice(nv, size=ns, replace=False), jnp.int32)
             yield batch
 
     def make_trainer(self, data) -> Trainer:
