@@ -15,5 +15,9 @@ import jax  # noqa: E402
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: the test box has a single CPU core, so XLA
 # compiles dominate wall-clock without it
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# repo-local so warm compiles survive sandbox restarts (/tmp does not)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
