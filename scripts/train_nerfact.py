@@ -82,6 +82,25 @@ def main():
                               exclude_demos=exclude,
                               sample_mode=args.sample_mode)
         eval_batch = next(data)  # one fixed batch for the periodic render
+        if args.sample_mode == "demo_cycle":
+            # realign to a cycle boundary: taking the eval batch consumed
+            # one sample of the first demo's cycle, which would shift
+            # every accumulation window across two demos and silently
+            # break the grasp/retreat pairing the mode exists for
+            from real_robot_nerf_actor_tpu.data.replay import ReplaySource
+            src = ReplaySource(args.data_root, args.n_demos)
+            nt = {src.num_keyframes(d) - 1 for d in range(args.n_demos)
+                  if d not in exclude}
+            assert len(nt) == 1, (
+                "demo_cycle window alignment needs equal-length demos; "
+                f"got transition counts {sorted(nt)}")
+            per_demo = nt.pop()
+            residue = (-args.batch_size) % per_demo   # samples to finish
+            assert residue % args.batch_size == 0, (
+                f"batch_size {args.batch_size} cannot realign to the "
+                f"{per_demo}-transition demo cycle")
+            for _ in range(residue // args.batch_size):
+                next(data)
         eval_fn = tr.make_replay_eval(args.data_root, args.n_demos,
                                       exclude_demos=exclude,
                                       save_dir=args.eval_save_dir,
