@@ -28,7 +28,7 @@ print("done", flush=True)
          "--log", str(log), "--stale-secs", "3", "--poll-secs", "1",
          "--startup-grace-secs", "0", "--max-restarts", "3",
          "--", sys.executable, str(child)],
-        capture_output=True, text=True, timeout=120)
+        capture_output=True, text=True, timeout=600)
     assert p.returncode == 0, p.stdout + p.stderr
     assert open(marker).read() == "2"          # ran twice
     body = log.read_text()
