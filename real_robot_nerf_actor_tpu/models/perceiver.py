@@ -71,8 +71,12 @@ class PerceiverConfig:
     conv_padding: str = "zeros"      # "zeros" (TPU) | "replicate" (ref)
     # the Pallas k3 kernel wins standalone (3.1 vs ~11 ms) but loses
     # in-graph (layout materialization at the pallas_call boundary +
-    # pad copies outweigh it: 48.5 vs 41.5 ms full forward) — keep "xla"
-    conv_backend: str = "xla"        # "xla" | "pallas" (k3/s1/zeros)
+    # pad copies outweigh it: 48.5 vs 41.5 ms full forward). "conv2d"
+    # computes each k3/s1 Conv3D as three 2-D convs over (H,W) slabs with
+    # z-shifted adds (exact; ZDecomposedConv3D) — depth folds into batch so
+    # XLA keeps the canonical image layout instead of split-spatial 3-D
+    # conv layouts: 29.4 vs 34.0 ms bf16 policy forward on v5e (round 4)
+    conv_backend: str = "conv2d"     # "xla" | "pallas" | "conv2d" (k3/s1)
     stats_backend: str = "xla"       # "xla" | "pallas" spatial-softmax stats
     # scale on the LAST proprio dim (the 0/1 gripper bit). The reference
     # feeds raw voxel indices (0..100) + rot bins (0..71) + grip (0/1)

@@ -30,12 +30,25 @@ class Se3AugOut(NamedTuple):
 
 def apply_se3_augmentation(key: jax.Array, pcd: jnp.ndarray,
                            keyframe_xyz: jnp.ndarray, coord_bounds: jnp.ndarray,
-                           trans_aug_range: jnp.ndarray, voxel_size: int) -> Se3AugOut:
+                           trans_aug_range: jnp.ndarray, voxel_size: int,
+                           symmetric_clamp: bool = True) -> Se3AugOut:
     """Shared bounded translation of the point cloud and K keyframe actions.
 
     pcd: (B, N, 3); keyframe_xyz: (K, 3) metric action positions (e.g.
     current + next keyframe); coord_bounds: (6,); trans_aug_range: (3,)
     fractional ranges of the scene extent.
+
+    symmetric_clamp=True (default) shrinks the clamp window to the largest
+    SYMMETRIC feasible interval [-m, m], m = min(range, hi, -lo), so the
+    applied-shift marginal stays zero-mean for every keyframe. A one-sided
+    clip (and equally the reference's rejection loop, which truncates to
+    the feasible box) skews the marginal for keyframes near a workspace
+    bound: round-4 forensics showed the free-space retreat keyframe — the
+    highest point of every demo, no geometric anchor at the target — being
+    decoded 2-5 voxels toward the interior, exactly the direction of the
+    one-sided clamp's mean. symmetric_clamp=False keeps the reference's
+    truncated-support semantics (with a boundary atom instead of a
+    truncated tail).
     """
     bb_min = coord_bounds[0:3]
     bb_max = coord_bounds[3:6]
@@ -48,7 +61,11 @@ def apply_se3_augmentation(key: jax.Array, pcd: jnp.ndarray,
     eps = (bb_max - bb_min) * 1e-6
     lo = jnp.max(bb_min[None] - keyframe_xyz, axis=0)
     hi = jnp.min(bb_max[None] - keyframe_xyz, axis=0) - eps
-    shift = jnp.clip(shift, lo, hi)
+    if symmetric_clamp:
+        m = jnp.maximum(jnp.minimum(hi, -lo), 0.0)
+        shift = jnp.clip(shift, -m, m)
+    else:
+        shift = jnp.clip(shift, lo, hi)
 
     perturbed_xyz = keyframe_xyz + shift[None]
     action_trans = point_to_voxel_index(perturbed_xyz, voxel_size, coord_bounds)

@@ -104,6 +104,45 @@ def test_se3_aug_consistency():
     np.testing.assert_array_equal(np.asarray(out.action_trans), np.asarray(want))
 
 
+def test_se3_aug_symmetric_clamp_is_zero_mean_near_bounds():
+    """A keyframe near a workspace bound must not skew the shift marginal.
+
+    Round-4 forensics: the one-sided clip biased the free-space retreat
+    keyframe's label marginal toward the interior and the decoder tracked
+    that bias (consistent 2-5 voxel misses). The symmetric clamp keeps the
+    applied shift zero-mean per axis at the cost of a narrower window.
+    """
+    from real_robot_nerf_actor_tpu.ops import apply_se3_augmentation
+    bounds = jnp.asarray([-0.1, -0.3, -0.2, 0.8, 0.7, 0.7])
+    pcd = jax.random.uniform(jax.random.key(0), (1, 64, 3)) * 0.5
+    # z = 0.65 sits 0.05 below the z upper bound; x/y interior
+    kf = jnp.asarray([[0.3, 0.2, 0.65]])
+    rng_range = jnp.asarray([0.125, 0.125, 0.125])  # 0.1125 m in z > 0.05
+
+    keys = jax.random.split(jax.random.key(7), 512)
+    sym = jnp.stack([apply_se3_augmentation(
+        k, pcd, kf, bounds, rng_range, 100).shift for k in keys])
+    one_sided = jnp.stack([apply_se3_augmentation(
+        k, pcd, kf, bounds, rng_range, 100, symmetric_clamp=False).shift
+        for k in keys])
+
+    # symmetric: z support is clipped to +-(0.7 - 0.65 - eps) and zero-mean
+    z = np.asarray(sym[:, 2])
+    assert abs(z.mean()) < 0.005
+    assert z.max() <= 0.05 + 1e-6 and z.min() >= -0.05 - 1e-6
+    # unclamped interior axes keep the full range under both modes
+    np.testing.assert_allclose(np.asarray(sym[:, 0]),
+                               np.asarray(one_sided[:, 0]), atol=1e-7)
+    # one-sided: mass piles at the upper clamp -> negative mean
+    z1 = np.asarray(one_sided[:, 2])
+    assert z1.mean() < -0.01
+    # keyframes stay in bounds in both modes
+    for out in (sym, one_sided):
+        shifted = np.asarray(kf)[None] + np.asarray(out)[:, None]
+        assert (shifted <= np.asarray(bounds[3:6])[None, None]).all()
+        assert (shifted >= np.asarray(bounds[0:3])[None, None]).all()
+
+
 def test_composite_unsorted_matches_sorted():
     from real_robot_nerf_actor_tpu.ops.compositing import composite_unsorted
     rng = np.random.default_rng(3)
