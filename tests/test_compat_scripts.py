@@ -77,13 +77,14 @@ def test_yaml_configs_load():
                     os.path.join(REPO, "configs/featurenerf.yaml"))
     assert f.model.d_embed == 384
     # the committed serving default must keep encoding the quality-gated
-    # mode bench.py's headline runs (occ_int8_compact in eval_quality)
+    # mode bench.py's headline runs (occ_int8_cull16 in eval_quality)
     s = load_config(NerfActConfig, os.path.join(REPO, "configs/serve.yaml"))
     assert s.renderer.sampling_mode == "occupancy"
     assert s.renderer.field.mlp_backend == "pallas_int8"
     assert (s.renderer.n_coarse, s.renderer.n_fine,
-            s.renderer.n_fine_depth) == (24, 16, 0)
+            s.renderer.n_fine_depth) == (16, 8, 0)
     assert s.renderer.occ_tighten and s.renderer.field.mask_outside
+    assert s.renderer.use_ray_plan
     # same policy architecture as the parity config
     assert s.peract.model.num_latents == n.peract.model.num_latents
     # dot-path override
