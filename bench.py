@@ -29,6 +29,7 @@ parity_rays_per_sec — compare against BENCH_r01/r02 "value" fields.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 REFERENCE_RAYS_PER_SEC = 1.0e5  # documented estimate, see module docstring
@@ -99,15 +100,22 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
                       n_frames: int = 1, proposal_use_latent: bool = True,
                       mlp_backend: str = "xla", occupancy: bool = False,
                       n_coarse: int = 64, n_fine: int = 32,
-                      n_fine_depth: int = 16, cull: bool = False):
+                      n_fine_depth: int = 16, cull: bool = False,
+                      camera: str = "serve"):
     import jax.numpy as jnp
     import numpy as np
     from real_robot_nerf_actor_tpu.models.nerf_field import NerfFieldConfig
     from real_robot_nerf_actor_tpu.ops import gen_rays
     from real_robot_nerf_actor_tpu.render import NeuralRenderer, RendererConfig
 
+    # camera="evalcam" (cull only): the recorded-kitchen EVAL frame —
+    # 80x60 @ focal 76.18, the geometry scripts/eval_quality.py scores —
+    # where ~83% of rays hit the occupied AABB. Reported alongside the
+    # serving camera so the headline can never be camera-flattered
+    # (round-4 VERDICT weak #2).
+    ew, eh = (80, 60) if camera == "evalcam" else (128, 128)
     cfg = RendererConfig(
-        image_width=128, image_height=128, n_coarse=n_coarse, n_fine=n_fine,
+        image_width=ew, image_height=eh, n_coarse=n_coarse, n_fine=n_fine,
         n_fine_depth=n_fine_depth,
         sampling_mode="occupancy" if occupancy else "stratified",
         field=NerfFieldConfig(d_latent=64, d_embed=512, d_hidden=512,
@@ -146,7 +154,8 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
         center = np.array([0.35, 0.2, 0.1], np.float32)
         eye = center + np.array([0.9, -0.75, 0.85], np.float32)
         pose = _look_at(eye, center)
-        focal = jnp.asarray(76.18 * 128.0 / 80.0)   # same FOV as 80-wide
+        focal = (jnp.asarray(76.18) if camera == "evalcam"
+                 else jnp.asarray(76.18 * 128.0 / 80.0))  # same FOV, 80-wide
     else:
         pose = np.eye(4, dtype=np.float32)
         pose[2, 3] = 2.5
@@ -405,6 +414,90 @@ def bench_serve_loop(jax, rt: float, dtype: str = "bfloat16"):
     return loop_p50, loop_device, scan_per_action
 
 
+_LOCAL_OVERHEAD_SNIPPET = r"""
+import json, time
+import numpy as np
+import jax, jax.numpy as jnp
+from real_robot_nerf_actor_tpu.data.replay import ReplayRobotIO, \
+    pad_point_cloud
+from real_robot_nerf_actor_tpu.data.synthetic import (
+    make_replay_steps, make_synthetic_demo, make_synthetic_scene)
+from real_robot_nerf_actor_tpu.models import PerceiverConfig, PerceiverIO
+from real_robot_nerf_actor_tpu.ops import VoxelizerSpec
+from real_robot_nerf_actor_tpu.train.serve import (PolicyServer, ServeConfig,
+                                                   run_deployment)
+
+# tiny net (depth 1, 64 latents, 50^3 grid) so the CPU forward is fast:
+# the device compute is SUBTRACTED out below — only the loop's host-side
+# work (capture, pad_point_cloud on the real 220k cloud, proprio packing,
+# trace building, the local dispatch) is being measured, and none of it
+# depends on the voxel resolution. The CLOUD size stays the real 220k.
+cfg = PerceiverConfig(depth=1, voxel_size=50, num_latents=64,
+                      latent_dim=128)
+spec = VoxelizerSpec(voxel_size=50, feature_size=3, max_num_coords=220000)
+net = PerceiverIO(cfg)
+variables = net.init(
+    jax.random.key(0), jnp.zeros((1, 50, 50, 50, cfg.initial_dim)),
+    jnp.zeros((1, cfg.low_dim_size)),
+    jnp.zeros((1, cfg.lang_max_seq_len, cfg.lang_emb_dim)))
+lang = np.zeros((cfg.lang_max_seq_len, cfg.lang_emb_dim), np.float32)
+server = PolicyServer(ServeConfig(num_steps=20), cfg, spec, variables, lang)
+scene = make_synthetic_scene(seed=0, n_points=200000)
+steps = make_replay_steps(scene, make_synthetic_demo(scene)) * 4
+robot = ReplayRobotIO(steps)
+run_deployment(server, robot, num_steps=2)            # compile + warm
+loop = []
+robot2 = ReplayRobotIO(steps)
+for _ in range(12):
+    t0 = time.perf_counter()
+    run_deployment(server, robot2, num_steps=1)
+    loop.append(time.perf_counter() - t0)
+loop.sort()
+# the same act() call on pre-padded arrays = the pure dispatch+compute+
+# fetch term of a loop step (host-resident inputs, like the loop pays)
+p, c, v = pad_point_cloud(steps[0].observation, spec.max_num_coords)
+px = np.asarray(steps[0].proprio_xyz, np.float32)
+pr = np.asarray(steps[0].proprio_rot, np.float32)
+server.act(p, c, v, px, pr, steps[0].proprio_grip)    # warm
+act = []
+for _ in range(12):
+    t0 = time.perf_counter()
+    server.act(p, c, v, px, pr, steps[0].proprio_grip)
+    act.append(time.perf_counter() - t0)
+act.sort()
+print(json.dumps({
+    "loop_p50_ms": loop[len(loop) // 2] * 1000.0,
+    "act_p50_ms": act[len(act) // 2] * 1000.0,
+    "overhead_ms": (loop[len(loop) // 2] - act[len(act) // 2]) * 1000.0,
+}))
+"""
+
+
+def bench_serve_local_overhead():
+    """Round-4 VERDICT #8: measure (don't extrapolate) the host-side cost of
+    the full run_deployment loop machinery on a LOCAL device. A subprocess
+    pinned to the CPU backend (no axon tunnel) runs run_deployment with
+    host-resident observations and subtracts the same-step act() time:
+    what remains is the loop's own host work — robot capture, the 220k-point
+    pad_point_cloud, proprio packing, trace building — i.e. what a local
+    robot host pays ON TOP of the device step. The local-host p50 claim is
+    then serve_loop_device_ms (TPU compute) + this overhead, both measured.
+    Reference analog: val_real_camera_prev.py:811-876's per-step host work.
+    """
+    import json as _json
+    import os
+    import subprocess
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", _LOCAL_OVERHEAD_SNIPPET], env=env,
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = out.stdout.strip().splitlines()[-1]
+    return _json.loads(line)["overhead_ms"]
+
+
 def bench_voxelize(jax, rt: float, n_inner: int = 20):
     """BASELINE config 2: fused multi-cam point cloud -> 100^3 feature grid."""
     import jax.numpy as jnp
@@ -496,23 +589,37 @@ def main():
     except Exception:
         cull24_rays, cull_frac = 0.0, 0.0
     try:
-        cull16_rays, _ = bench_nerf_render(
+        cull16_rays, cull16_frac = bench_nerf_render(
             jax, rt, occupancy=True, mlp_backend="pallas_int8",
             n_coarse=16, n_fine=8, n_fine_depth=0, n_inner=16, cull=True)
     except Exception:
-        cull16_rays = 0.0
+        cull16_rays, cull16_frac = 0.0, 0.0
     try:
         cull12_rays, _ = bench_nerf_render(
             jax, rt, occupancy=True, mlp_backend="pallas_int8",
             n_coarse=12, n_fine=6, n_fine_depth=0, n_inner=16, cull=True)
     except Exception:
         cull12_rays = 0.0
+    # the serving default on the EVAL camera geometry (80x60 @ 76.18,
+    # ~83% of rays computed): the anti-flattering datapoint — what the
+    # same config delivers where culling barely helps
+    try:
+        evalcam_rays, evalcam_frac = bench_nerf_render(
+            jax, rt, occupancy=True, mlp_backend="pallas_int8",
+            n_coarse=16, n_fine=8, n_fine_depth=0, n_inner=32, cull=True,
+            camera="evalcam")
+    except Exception:
+        evalcam_rays, evalcam_frac = 0.0, 0.0
     actions_per_sec, device_ms, e2e_p50_ms, piped_p50_ms = bench_policy(jax, rt)
     try:
         serve_loop_p50_ms, serve_loop_dev_ms, serve_scan_ms = \
             bench_serve_loop(jax, rt)
     except Exception:
         serve_loop_p50_ms, serve_loop_dev_ms, serve_scan_ms = 0.0, 0.0, 0.0
+    try:
+        serve_local_overhead_ms = bench_serve_local_overhead()
+    except Exception:
+        serve_local_overhead_ms = 0.0
     try:
         vox_per_sec = bench_voxelize(jax, rt)
     except Exception:
@@ -535,15 +642,18 @@ def main():
     # parity_rays_per_sec (the apples-to-apples series vs the baseline's
     # 64+48 stratified estimate). Falls back down the frontier if a mode
     # failed to run.
+    # headline_frac: the computed-ray fraction OF THE HEADLINE RUN itself
+    # (ADVICE r4: keying off the separate cull24 run's frac reported a
+    # false 0 computed rate whenever cull24 failed but cull16 succeeded)
     if cull16_rays > 0:
-        headline, headline_cfg = cull16_rays, \
-            "serve.yaml occ+int8+cull 16+8 (quality-gated)"
+        headline, headline_cfg, headline_frac = cull16_rays, \
+            "serve.yaml occ+int8+cull 16+8 (quality-gated)", cull16_frac
     elif occ_serve_rays > 0:
-        headline, headline_cfg = occ_serve_rays, \
-            "occ+int8 24+16 (quality-gated; cull mode failed)"
+        headline, headline_cfg, headline_frac = occ_serve_rays, \
+            "occ+int8 24+16 (quality-gated; cull mode failed)", 1.0
     else:
-        headline, headline_cfg = rays_per_sec, \
-            "parity pallas_bf16 64+32+16 (serve modes failed)"
+        headline, headline_cfg, headline_frac = rays_per_sec, \
+            "parity pallas_bf16 64+32+16 (serve modes failed)", 1.0
     print(json.dumps({
         # renamed from nerf_rays_per_sec (r1-r3): the headline measures the
         # SERVING config, not the parity config — parity_rays_per_sec below
@@ -554,12 +664,13 @@ def main():
         "vs_baseline": round(headline / REFERENCE_RAYS_PER_SEC, 3),
         "headline_config": headline_cfg,
         "headline_computed_rays_per_sec":
-            round(headline * cull_frac, 1) if headline is cull16_rays
-            else round(headline, 1),
+            round(headline * headline_frac, 1),
         "serving_cull24_rays_per_sec": round(cull24_rays, 1),
         "serving_cull16_rays_per_sec": round(cull16_rays, 1),
         "serving_cull12_rays_per_sec": round(cull12_rays, 1),
         "cull_active_frac": round(cull_frac, 4),
+        "serving_evalcam_rays_per_sec": round(evalcam_rays, 1),
+        "evalcam_active_frac": round(evalcam_frac, 4),
         "parity_rays_per_sec": round(rays_per_sec, 1),
         "parity_vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC,
                                     3),
@@ -579,6 +690,13 @@ def main():
         "serve_loop_p50_ms": round(serve_loop_p50_ms, 2),
         "serve_loop_device_ms": round(serve_loop_dev_ms, 2),
         "serve_scan_ms_per_action": round(serve_scan_ms, 2),
+        # measured host-side cost of the run_deployment loop machinery on
+        # a LOCAL (cpu) backend — no tunnel. The local-host per-action p50
+        # claim = serve_loop_device_ms + this (both measured, no
+        # extrapolation; round-4 VERDICT #8)
+        "serve_loop_local_overhead_ms": round(serve_local_overhead_ms, 2),
+        "serve_loop_local_p50_est_ms": round(
+            serve_loop_dev_ms + serve_local_overhead_ms, 2),
         "dispatch_rt_ms": round(rt * 1000.0, 2),
     }))
 

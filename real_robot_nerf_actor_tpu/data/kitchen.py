@@ -30,8 +30,9 @@ import numpy as np
 
 from real_robot_nerf_actor_tpu.data.ply import write_ply
 from real_robot_nerf_actor_tpu.data.synthetic import (
-    GRIPPER_COLOR, GRIPPER_HALF, _look_at, add_gripper_blob,
-    make_synthetic_demo, make_synthetic_scene, raytrace_views, teacher_embed)
+    GRIPPER_COLOR, GRIPPER_HALF, TASK_INSTRUCTIONS, _look_at,
+    add_gripper_blob, make_synthetic_demo, make_synthetic_scene,
+    make_task_demo, raytrace_views, teacher_embed)
 
 GL2CV = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float64)
 
@@ -42,18 +43,28 @@ def write_kitchen_demos(out: str, n_demos: int = 5, n_keyframes: int = 5,
                         d_embed: int = 512, write_embeds: bool = True,
                         write_depth: bool = True, n_points: int = 60000,
                         camera_eye: Optional[Tuple[float, float, float]] = None,
-                        n_train_views: int = 1) -> dict:
+                        n_train_views: int = 1,
+                        task: Optional[int] = None,
+                        scene_seed: Optional[int] = None) -> dict:
     """Write a kitchen of `n_demos` demos in the reference data layout.
 
     image_hw/focal default to the reference's 80x60 @ 76.18
     (train_nerfact_multi_kitchen.py:1100, nerfact.conf). Returns the
     calibration dict.
+
+    task (multi-task datasets): record demos of synthetic.make_task_demo
+    task `task` instead of the default grasp demo. scene_seed decouples the
+    SCENE (shared by every task of one kitchen) from the demo jitter seed;
+    gripper-blob and home-jitter seeds are then task-independent, so the k0
+    observation is bit-identical across tasks of one (kitchen, demo) and
+    only the language tokens disambiguate the first transition.
     """
     h, w = image_hw
     os.makedirs(out, exist_ok=True)
+    sseed = seed if scene_seed is None else scene_seed
     # brighter table than the unit-test default so renders are visibly
     # structured (the test scene's near-black table hides learning)
-    scene = make_synthetic_scene(seed=seed, n_points=n_points,
+    scene = make_synthetic_scene(seed=sseed, n_points=n_points,
                                  table_color=(0.45, 0.32, 0.18))
     center = np.array([0.35, 0.2, 0.1], np.float64)
     # default eye: 1.45 m from the scene center — every surface lands in
@@ -100,15 +111,21 @@ def write_kitchen_demos(out: str, n_demos: int = 5, n_keyframes: int = 5,
     from PIL import Image
     r_inv = np.linalg.inv(cam2base_cv)
     for d in range(n_demos):
-        demo = make_synthetic_demo(scene, seed=seed + 7 * d + 1,
-                                   n_keyframes=n_keyframes)
+        if task is None:
+            demo = make_synthetic_demo(scene, seed=seed + 7 * d + 1,
+                                       n_keyframes=n_keyframes)
+        else:
+            demo = make_task_demo(scene, task, seed=seed + 7 * d + 1,
+                                  home_seed=sseed * 31 + d)
         _write_xarm_position_file(
             os.path.join(out, f"{d}_xarm_position.txt"), demo)
         ddir = os.path.join(out, f"real{d}")
         os.makedirs(ddir, exist_ok=True)
         for k in range(demo.num_keyframes):
+            # blob seed is task-independent (sseed-based) so the shared
+            # home keyframe's cloud matches bit-exactly across tasks
             pts, cols = add_gripper_blob(scene, demo.xyz[k],
-                                         seed=seed + 100 * d + k)
+                                         seed=sseed * 17 + 100 * d + k)
             # store the cloud in the OpenCV camera frame (what a RealSense
             # export holds); load_rgb_pcd transforms it back via cam2base
             p_cam = pts @ r_inv[:3, :3].T.astype(np.float32) \
@@ -137,6 +154,76 @@ def write_kitchen_demos(out: str, n_demos: int = 5, n_keyframes: int = 5,
                 np.clip(rgb_h[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
             ).save(os.path.join(ddir, f"holdout{k}.png"))
     return calib
+
+
+def encode_task_instructions(instructions, seed: int = 0) -> np.ndarray:
+    """Per-task CLIP text token embeddings (T, 77, 512).
+
+    The reference encodes each task's instruction once with the CLIP RN50
+    text tower and treats the result as a per-task constant
+    (train_peract_single_kitchen_single_task.py:361-373, used :790-795).
+    Here the in-repo tower (models/clip_text.py) runs with deterministic
+    random-init weights — no pretrained checkpoint exists in this sandbox;
+    distinct instructions still map to stable, well-separated token
+    embeddings, which is all the policy's lang cross-attention consumes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from real_robot_nerf_actor_tpu.models.clip_text import (
+        ClipTextEncoder, tokenize)
+
+    tokens = jnp.asarray(tokenize(list(instructions)))
+    enc = ClipTextEncoder()
+    variables = enc.init(jax.random.key(seed), tokens[:1])
+    _, per_token = enc.apply(variables, tokens)
+    return np.asarray(per_token, np.float32)
+
+
+def write_multi_kitchen_dataset(out: str, n_kitchens: int = 2,
+                                n_tasks: int = 3, n_demos: int = 4,
+                                seed: int = 0, **kitchen_kwargs) -> dict:
+    """The reference's namesake flagship dataset: n_kitchens scenes x
+    n_tasks language-conditioned tasks x n_demos demos
+    (train_nerfact_multi_kitchen.py:1080-1260 trains 2 kitchens x 3 tasks
+    x 5 demos).
+
+    Layout: out/k{i}_t{j}/ — each a standard reference-layout recording
+    (one per kitchen-task pair; kitchens differ in scene AND camera) —
+    plus out/manifest.json naming every entry and out/lang_embs.npz with
+    the per-task CLIP token embeddings. Returns the manifest dict.
+    """
+    assert n_tasks <= len(TASK_INSTRUCTIONS), (
+        f"only {len(TASK_INSTRUCTIONS)} task scripts defined")
+    os.makedirs(out, exist_ok=True)
+    center = np.array([0.35, 0.2, 0.1], np.float64)
+    # per-kitchen camera: same range, rotated about the scene center
+    eyes = [center + np.array([0.9, -0.75, 0.85]),
+            center + np.array([-0.55, -0.95, 0.9]),
+            center + np.array([1.1, 0.35, 0.8]),
+            center + np.array([0.2, 1.15, 0.95])]
+    entries = []
+    for ki in range(n_kitchens):
+        sseed = seed + 101 * ki
+        for ti in range(n_tasks):
+            sub = f"k{ki}_t{ti}"
+            write_kitchen_demos(
+                os.path.join(out, sub), n_demos=n_demos,
+                seed=seed + 1000 * ki + 100 * ti, task=ti, scene_seed=sseed,
+                camera_eye=tuple(eyes[ki % len(eyes)]), **kitchen_kwargs)
+            entries.append({"dir": sub, "kitchen": ki, "task": ti,
+                            "n_demos": n_demos,
+                            "instruction": TASK_INSTRUCTIONS[ti]})
+    lang = encode_task_instructions(TASK_INSTRUCTIONS[:n_tasks], seed=seed)
+    np.savez(os.path.join(out, "lang_embs.npz"), embs=lang,
+             instructions=np.array(TASK_INSTRUCTIONS[:n_tasks]))
+    manifest = {"n_kitchens": n_kitchens, "n_tasks": n_tasks,
+                "n_demos": n_demos,
+                "instructions": list(TASK_INSTRUCTIONS[:n_tasks]),
+                "entries": entries}
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
 
 
 def _write_xarm_position_file(path: str, demo) -> None:

@@ -118,6 +118,66 @@ def make_synthetic_demo(scene: SyntheticScene, seed: int = 0,
     return KeyframeDemo(xyz=waypoints, rotation=rot, gripper_open=grip)
 
 
+# ---------------------------------------------------------------- tasks
+# The reference's flagship trains jointly over kitchens x tasks with
+# per-task CLIP instruction embeddings feeding the PerceiverIO language
+# tokens (/root/reference/train_nerfact_multi_kitchen.py:1080-1260,
+# :790-795). These synthetic tasks share ONE home keyframe per
+# (kitchen, demo) — the k0 observation and proprio are identical across
+# tasks, so the k0->k1 transition is decodable ONLY through the language
+# tokens (the zero-lang ablation's discriminating transition). Box colors
+# are fixed by the scene palette: box0 red, box1 green, box2 blue.
+TASK_INSTRUCTIONS = (
+    "grasp the red box and lift it up",
+    "grasp the green box and lift it up",
+    "press down on the blue box and return home",
+)
+
+_HOME = np.array([0.35, 0.2, 0.30], np.float32)
+
+
+def make_task_demo(scene: SyntheticScene, task: int, seed: int = 0,
+                   home_seed: Optional[int] = None) -> KeyframeDemo:
+    """5-keyframe demo for task `task` in `scene`.
+
+    home_seed controls the shared home-pose jitter: pass the same value for
+    every task of one (kitchen, demo) so k0 is bit-identical across tasks.
+    Tasks 0/1 = grasp-and-lift box 0/1 (approach, descend, close, retreat
+    with the object — k3->k4 is the free-space retreat transition from the
+    round-4 forensics). Task 2 = press box 2 with a closed gripper and
+    return home.
+    """
+    rng = np.random.default_rng(seed)
+    hrng = np.random.default_rng(seed if home_seed is None else home_seed)
+    home = (_HOME + hrng.normal(0, 0.01, 3)).astype(np.float32)
+    jit = lambda: rng.normal(0, 0.008, 3).astype(np.float32)
+    if task in (0, 1):
+        box = scene.box_centers[task]
+        waypoints = np.stack([
+            home,
+            box + np.array([0, 0, 0.12], np.float32) + jit(),
+            box + np.array([0, 0, 0.03], np.float32) + jit(),
+            box + np.array([0, 0, 0.03], np.float32),
+            box + np.array([0, 0, 0.30], np.float32) + jit(),
+        ]).astype(np.float32)
+        grip = np.array([1, 1, 1, 0, 0], np.float32)
+    elif task == 2:
+        box = scene.box_centers[2]
+        waypoints = np.stack([
+            home,
+            box + np.array([0, 0, 0.15], np.float32) + jit(),
+            box + np.array([0, 0, 0.05], np.float32) + jit(),
+            box + np.array([0, 0, 0.15], np.float32) + jit(),
+            home + np.array([0.05, 0.0, 0.0], np.float32),
+        ]).astype(np.float32)
+        grip = np.array([1, 0, 0, 0, 1], np.float32)
+    else:
+        raise ValueError(f"unknown task {task} (have {len(TASK_INSTRUCTIONS)})")
+    rot = np.tile(np.array([[180.0, 0.0, 0.0]], np.float32), (5, 1))
+    rot += rng.normal(0, 2.0, rot.shape).astype(np.float32)
+    return KeyframeDemo(xyz=waypoints, rotation=rot, gripper_open=grip)
+
+
 def make_camera_arc(n_views: int, center=(0.35, 0.2, 0.1), radius: float = 2.2,
                     height: float = 1.4) -> np.ndarray:
     """(n_views, 4, 4) OpenGL camera poses on an arc around the scene."""

@@ -78,6 +78,15 @@ class PerceiverConfig:
     # conv layouts: 29.4 vs 34.0 ms bf16 policy forward on v5e (round 4)
     conv_backend: str = "conv2d"     # "xla" | "pallas" | "conv2d" (k3/s1)
     stats_backend: str = "xla"       # "xla" | "pallas" spatial-softmax stats
+    # auxiliary coarse translation head: 20^3 logits read directly off the
+    # decoder tokens (before upsample). The 100^3 CE gradient for a target
+    # in EMPTY space reaches the trunk only through one voxel's conv
+    # window; a coarse CE at the patch resolution gives the trunk a dense,
+    # well-supported signal for exactly those free-space targets (round-4
+    # forensics: the k3 retreat keyframe — empty-region regression —
+    # oscillated for 20k+ steps). Decode semantics are UNCHANGED (argmax
+    # still reads the fine head); the aux head only shapes training.
+    aux_trans_head: bool = False
     # scale on the LAST proprio dim (the 0/1 gripper bit). The reference
     # feeds raw voxel indices (0..100) + rot bins (0..71) + grip (0/1)
     # straight into proprio_preprocess (train_peract_single_kitchen_
@@ -301,6 +310,12 @@ class PerceiverIO(nn.Module):
         q_rot_grip = rgc[:, : -c.num_collision_classes]
         q_collision = rgc[:, -c.num_collision_classes:]
 
+        outputs = [q_trans, q_rot_grip, q_collision]
         if c.return_voxel_feat:
-            return q_trans, q_rot_grip, q_collision, d0
-        return q_trans, q_rot_grip, q_collision
+            outputs.append(d0)
+        if c.aux_trans_head:
+            # (B, s^3) coarse logits straight off the decoder tokens
+            q_trans_aux = nn.Dense(1, name="aux_trans_decoder")(
+                dec.astype(jnp.float32))[..., 0].reshape(b, -1)
+            outputs.append(q_trans_aux)
+        return tuple(outputs)

@@ -71,25 +71,64 @@ class PerActConfig:
     rotation_resolution: float = 5.0
     trans_aug_range: Tuple[float, float, float] = (0.125, 0.05, 0.05)
     use_se3_aug: bool = True
+    # weight of the auxiliary coarse-trans CE (used iff model.aux_trans_head)
+    lambda_aux_trans: float = 0.5
+    # epsilon of spatial label smoothing on the trans target (0 = reference
+    # one-hot CE; see bc_losses)
+    trans_label_smooth: float = 0.0
+    # SE(3)-aug clamp semantics (ops/se3_aug.py): True = symmetric clamp
+    # window (zero-mean shift marginal for every keyframe; round-4 fix for
+    # the boundary-keyframe decode bias), False = the reference's truncated
+    # one-sided support (agent_function.py:111-234). A semantic deviation
+    # from the reference, so it is a visible config knob (CLAUDE.md rule).
+    se3_symmetric_clamp: bool = True
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
 
 
 def bc_losses(q_trans: jnp.ndarray, q_rot_grip: jnp.ndarray,
               q_collision: jnp.ndarray, action: DiscreteAction,
-              voxel_size: int, num_rotation_classes: int = 72
+              voxel_size: int, num_rotation_classes: int = 72,
+              q_trans_aux: Optional[jnp.ndarray] = None,
+              patch_size: int = 5, lambda_aux: float = 0.5,
+              trans_smooth: float = 0.0
               ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Cross-entropy on all heads against discrete expert actions.
 
     Matches the reference losses (train_peract_...py:931-953) without
     materializing one-hots: integer-label CE on trans (V^3-way), rot x/y/z
     (R-way), grip (2-way), collision (2-way).
+
+    Two opt-in deviations (both documented config knobs, off by default):
+    q_trans_aux adds lambda_aux * CE of a COARSE (V/patch)^3 head against
+    the down-binned target (dense trunk gradient for free-space targets —
+    the round-4 k3-retreat fix); trans_smooth > 0 spreads epsilon of the
+    trans target over a separable [0.25, 0.5, 0.25]^3 neighborhood
+    (spatial label smoothing; GT that sits between demos stops whipsawing
+    single voxels).
     """
     b = q_trans.shape[0]
     r = num_rotation_classes
     flat_idx = (action.trans[:, 0] * voxel_size * voxel_size
                 + action.trans[:, 1] * voxel_size + action.trans[:, 2])
     ce = optax.softmax_cross_entropy_with_integer_labels
-    trans_loss = ce(q_trans.reshape(b, -1), flat_idx)
+    if trans_smooth > 0.0:
+        logp = jax.nn.log_softmax(q_trans.reshape(b, -1), axis=-1)
+        center = -logp[jnp.arange(b), flat_idx]
+        w1 = jnp.asarray([0.25, 0.5, 0.25])
+        nb = jnp.zeros((b,))
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    w = float(w1[dx + 1] * w1[dy + 1] * w1[dz + 1])
+                    t = jnp.clip(
+                        action.trans + jnp.asarray([dx, dy, dz]), 0,
+                        voxel_size - 1)
+                    fi = (t[:, 0] * voxel_size * voxel_size
+                          + t[:, 1] * voxel_size + t[:, 2])
+                    nb = nb - w * logp[jnp.arange(b), fi]
+        trans_loss = (1.0 - trans_smooth) * center + trans_smooth * nb
+    else:
+        trans_loss = ce(q_trans.reshape(b, -1), flat_idx)
     rot_grip_loss = (
         ce(q_rot_grip[:, 0 * r:1 * r], action.rot_grip[:, 0])
         + ce(q_rot_grip[:, 1 * r:2 * r], action.rot_grip[:, 1])
@@ -97,12 +136,20 @@ def bc_losses(q_trans: jnp.ndarray, q_rot_grip: jnp.ndarray,
         + ce(q_rot_grip[:, 3 * r:], action.rot_grip[:, 3]))
     collision_loss = ce(q_collision, action.collision[:, 0])
     total = jnp.mean(trans_loss + rot_grip_loss + collision_loss)
-    return total, {
+    metrics = {
         "loss_trans": jnp.mean(trans_loss),
         "loss_rot_grip": jnp.mean(rot_grip_loss),
         "loss_collision": jnp.mean(collision_loss),
-        "loss": total,
     }
+    if q_trans_aux is not None:
+        s = voxel_size // patch_size
+        ct = action.trans // patch_size
+        aux_idx = ct[:, 0] * s * s + ct[:, 1] * s + ct[:, 2]
+        aux_loss = jnp.mean(ce(q_trans_aux, aux_idx))
+        total = total + lambda_aux * aux_loss
+        metrics["loss_trans_aux"] = aux_loss
+    metrics["loss"] = total
+    return total, metrics
 
 
 class PerActTrainer:
@@ -152,7 +199,8 @@ class PerActTrainer:
             def aug_one(key, pts, kf):
                 return apply_se3_augmentation(
                     key, pts[None], kf, self.bounds,
-                    jnp.asarray(c.trans_aug_range), c.model.voxel_size)
+                    jnp.asarray(c.trans_aug_range), c.model.voxel_size,
+                    symmetric_clamp=c.se3_symmetric_clamp)
 
             b = batch["points"].shape[0]
             if c.use_se3_aug:
@@ -181,9 +229,13 @@ class PerActTrainer:
             action = DiscreteAction(trans=action_trans,
                                     rot_grip=batch["rot_grip"],
                                     collision=batch["collision"])
-            total, metrics = bc_losses(q_trans, q_rot_grip, q_coll, action,
-                                       c.model.voxel_size,
-                                       c.model.num_rotation_classes)
+            total, metrics = bc_losses(
+                q_trans, q_rot_grip, q_coll, action, c.model.voxel_size,
+                c.model.num_rotation_classes,
+                q_trans_aux=out[-1] if c.model.aux_trans_head else None,
+                patch_size=c.model.voxel_patch_size,
+                lambda_aux=c.lambda_aux_trans,
+                trans_smooth=c.trans_label_smooth)
             return total, (metrics, new_extra)
 
         (loss, (metrics, new_extra)), grads = jax.value_and_grad(
@@ -297,86 +349,119 @@ class PerActTrainer:
         instead of alternating and cancelling across bs=1 steps
         (round-4 BC forensics, BENCH_NOTES.md).
         """
+        entry = {"root": root, "n_demos": n_demos, "lang": lang_embs,
+                 "exclude_demos": tuple(exclude_demos)}
+        return self.multi_replay_data([entry], batch_size, seed,
+                                      with_views=with_views,
+                                      sample_mode=sample_mode)
+
+    def multi_replay_data(self, entries, batch_size: int = 1, seed: int = 0,
+                          with_views: bool = False,
+                          sample_mode: str = "uniform"
+                          ) -> Iterator[Dict[str, jnp.ndarray]]:
+        """Batches drawn across MULTIPLE recorded kitchen-task directories
+        — the reference's multi-kitchen multi-task sampling loop
+        (train_nerfact_multi_kitchen.py:1256-1284 draws (kitchen, task,
+        demo, keyframe) per iteration, with the task's CLIP embedding as
+        the lang tokens :790-795).
+
+        entries: list of dicts {root, n_demos, lang (77, D) or None,
+        exclude_demos tuple}. Each entry carries its own language
+        embedding, camera calibration, and GT views; everything static is
+        staged on device once (see replay_data).
+        """
         from real_robot_nerf_actor_tpu.data.replay import ReplaySource
 
         c = self.cfg
-        src = ReplaySource(root, n_demos)
-        if with_views and not src.has_views:
-            raise ValueError(
-                f"{root} has no GT views (real*/rgb*.png): record with "
-                "gen_data kitchen or train PerAct-only (no joint loss)")
         rng = np.random.default_rng(seed)
-        lang = jnp.asarray(
-            lang_embs if lang_embs is not None else
-            np.zeros((c.model.lang_max_seq_len, c.model.lang_emb_dim),
-                     np.float32))
+        zero_lang = np.zeros((c.model.lang_max_seq_len, c.model.lang_emb_dim),
+                             np.float32)
+        srcs = [ReplaySource(e["root"], e["n_demos"]) for e in entries]
+        if with_views:
+            for e, src in zip(entries, srcs):
+                if not src.has_views:
+                    raise ValueError(
+                        f"{e['root']} has no GT views (real*/rgb*.png): "
+                        "record with gen_data kitchen or train PerAct-only")
+        langs = [jnp.asarray(e.get("lang") if e.get("lang") is not None
+                             else zero_lang) for e in entries]
 
-        train_demos = [d for d in range(n_demos) if d not in exclude_demos]
-        assert train_demos, "exclude_demos removed every demo"
-        clouds = {}   # (d, k) -> (points, colors, valid) device arrays
-        views = {}    # (d, k) -> dict of device arrays
-        disc = {}     # per demo: (rot_grip (K,4) np, collision (K,1) np)
-        for d in train_demos:
-            demo = src.demos[d]
-            nk = demo.num_keyframes
-            dd = discretize_action(
-                jnp.asarray(demo.xyz), jnp.asarray(demo.rotation),
-                jnp.asarray(demo.gripper_open), jnp.ones((nk,)),
-                self.bounds, c.model.voxel_size, c.rotation_resolution)
-            disc[d] = (np.asarray(dd.rot_grip), np.asarray(dd.collision))
-            for k in range(nk):
-                pts, cols, valid = pad_point_cloud(
-                    src.pointcloud(d, k), c.voxelizer.max_num_coords)
-                clouds[(d, k)] = (jnp.asarray(pts), jnp.asarray(cols),
-                                  jnp.asarray(valid))
-                if with_views:
-                    for vi in range(src.n_train_views):
-                        v = src.view(d, k, vi)
-                        dv = {"gt_rgb": jnp.asarray(v["rgb"])}
-                        if "embed" in v:
-                            dv["gt_embed"] = jnp.asarray(v["embed"])
-                        if "depth" in v:
-                            dv["gt_depth"] = jnp.asarray(v["depth"])
-                        views[(d, k, vi)] = dv
-        n_views = src.n_train_views if with_views else 1
-        gt_poses = (jnp.asarray(np.stack(
-            [src.train_pose(vi) for vi in range(n_views)]))
-            if with_views else None)
-        focal = (jnp.full((1,), src.focal, jnp.float32) if with_views
-                 else None)
+        units = []    # (entry, demo) training units
+        clouds = {}   # (e, d, k) -> (points, colors, valid) device arrays
+        views = {}    # (e, d, k, vi) -> dict of device arrays
+        disc = {}     # (e, d) -> (rot_grip (K,4) np, collision (K,1) np)
+        gt_poses = {}  # e -> (n_views, 4, 4) device
+        focals = {}
+        for ei, (e, src) in enumerate(zip(entries, srcs)):
+            exclude = set(e.get("exclude_demos", ()))
+            train_demos = [d for d in range(e["n_demos"])
+                           if d not in exclude]
+            assert train_demos, f"exclude_demos removed every demo of {e}"
+            for d in train_demos:
+                units.append((ei, d))
+                demo = src.demos[d]
+                nk = demo.num_keyframes
+                dd = discretize_action(
+                    jnp.asarray(demo.xyz), jnp.asarray(demo.rotation),
+                    jnp.asarray(demo.gripper_open), jnp.ones((nk,)),
+                    self.bounds, c.model.voxel_size, c.rotation_resolution)
+                disc[(ei, d)] = (np.asarray(dd.rot_grip),
+                                 np.asarray(dd.collision))
+                for k in range(nk):
+                    pts, cols, valid = pad_point_cloud(
+                        src.pointcloud(d, k), c.voxelizer.max_num_coords)
+                    clouds[(ei, d, k)] = (jnp.asarray(pts),
+                                          jnp.asarray(cols),
+                                          jnp.asarray(valid))
+                    if with_views:
+                        for vi in range(src.n_train_views):
+                            v = src.view(d, k, vi)
+                            dv = {"gt_rgb": jnp.asarray(v["rgb"])}
+                            if "embed" in v:
+                                dv["gt_embed"] = jnp.asarray(v["embed"])
+                            if "depth" in v:
+                                dv["gt_depth"] = jnp.asarray(v["depth"])
+                            views[(ei, d, k, vi)] = dv
+            if with_views:
+                gt_poses[ei] = jnp.asarray(np.stack(
+                    [src.train_pose(vi)
+                     for vi in range(src.n_train_views)]))
+                focals[ei] = float(src.focal)
 
-        picks = iter_transitions(rng, train_demos,
-                                 lambda d: src.num_keyframes(d) - 1,
-                                 sample_mode)
+        picks = iter_transitions(
+            rng, units, lambda u: srcs[u[0]].num_keyframes(u[1]) - 1,
+            sample_mode)
         while True:
             out = {k: [] for k in ("points", "colors", "valid", "proprio",
                                    "lang", "kf_xyz", "rot_grip", "collision")}
             vout: Dict[str, list] = {}
+            focal_out = []
             for _ in range(batch_size):
-                d, k = next(picks)
-                pts, cols, valid = clouds[(d, k)]
-                rg_all, coll_all = disc[d]
+                (ei, d), k = next(picks)
+                pts, cols, valid = clouds[(ei, d, k)]
+                rg_all, coll_all = disc[(ei, d)]
                 out["points"].append(pts)
                 out["colors"].append(cols)
                 out["valid"].append(valid)
                 out["proprio"].append(np.concatenate(
                     [np.zeros(3, np.float32),
                      np.asarray(rg_all[k], np.float32)]))
-                out["lang"].append(lang)
+                out["lang"].append(langs[ei])
                 out["kf_xyz"].append(np.stack(
-                    [src.demos[d].xyz[k], src.demos[d].xyz[k + 1]]))
+                    [srcs[ei].demos[d].xyz[k], srcs[ei].demos[d].xyz[k + 1]]))
                 out["rot_grip"].append(rg_all[k + 1])
                 out["collision"].append(coll_all[k + 1])
                 if with_views:
-                    vi = int(rng.integers(0, n_views))
-                    for key, arr in views[(d, k, vi)].items():
+                    vi = int(rng.integers(0, srcs[ei].n_train_views))
+                    for key, arr in views[(ei, d, k, vi)].items():
                         vout.setdefault(key, []).append(arr)
-                    vout.setdefault("gt_pose", []).append(gt_poses[vi])
+                    vout.setdefault("gt_pose", []).append(gt_poses[ei][vi])
+                    focal_out.append(focals[ei])
             batch = {k: jnp.stack(v) for k, v in out.items()}
             for key, arrs in vout.items():
                 batch[key] = jnp.stack(arrs)
             if with_views:
-                batch["focal"] = jnp.broadcast_to(focal, (batch_size,))
+                batch["focal"] = jnp.asarray(focal_out, jnp.float32)
             yield batch
 
     def make_trainer(self, data: Optional[Iterator] = None) -> Trainer:

@@ -10,11 +10,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["demos", "nerf", "kitchen"],
+    ap.add_argument("mode", choices=["demos", "nerf", "kitchen",
+                                     "multikitchen"],
                     help="demos: expert keyframe trajectories; "
                          "nerf: multi-view scene npz files; "
                          "kitchen: recorded real-robot-format demos "
-                         "(ply + rgb png + xarm txt + calibration)")
+                         "(ply + rgb png + xarm txt + calibration); "
+                         "multikitchen: kitchens x language-conditioned "
+                         "tasks grid + manifest + CLIP lang embeddings")
+    ap.add_argument("--kitchens", type=int, default=2)
+    ap.add_argument("--tasks", type=int, default=3)
     ap.add_argument("--task", default="lift")
     ap.add_argument("--out", required=True)
     ap.add_argument("--n", type=int, default=5)
@@ -35,7 +40,18 @@ def main():
     import numpy as np
     os.makedirs(args.out, exist_ok=True)
 
-    if args.mode == "kitchen":
+    if args.mode == "multikitchen":
+        from real_robot_nerf_actor_tpu.data.kitchen import (
+            write_multi_kitchen_dataset)
+        m = write_multi_kitchen_dataset(
+            args.out, n_kitchens=args.kitchens, n_tasks=args.tasks,
+            n_demos=args.n, seed=args.seed, image_hw=tuple(args.image_hw),
+            focal=args.focal, d_embed=args.d_embed,
+            write_embeds=not args.no_embeds,
+            n_train_views=args.train_views)
+        print(f"saved {m['n_kitchens']} kitchens x {m['n_tasks']} tasks x "
+              f"{m['n_demos']} demos -> {args.out}")
+    elif args.mode == "kitchen":
         from real_robot_nerf_actor_tpu.data.kitchen import write_kitchen_demos
         write_kitchen_demos(
             args.out, n_demos=args.n, n_keyframes=args.keyframes,
