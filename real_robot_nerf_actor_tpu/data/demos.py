@@ -36,9 +36,14 @@ def scripted_expert(env: XArmSimEnv) -> np.ndarray:
             mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_BODY, "target")]
         delta = env.data.mocap_pos[mid] - ee
         return np.clip(np.concatenate([delta * 12, [-1.0]]), -1, 1)
-    try:
-        obj = task.body_pos(env, "object")
-    except Exception:
+    # the graspable body: most tasks name it "object"; peg_insert names it
+    # "peg" (mj_name2id returns -1 for a missing name, which silently
+    # indexes the LAST body — guard instead of try/except)
+    import mujoco
+    obj_name = "peg" if name == "peg_insert" else "object"
+    if mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_BODY, obj_name) >= 0:
+        obj = task.body_pos(env, obj_name)
+    else:
         obj = ee
     # the fingers hang ~0.035 below the hand center; a hand height of
     # obj_z + 0.035 centers them on the object
@@ -47,8 +52,75 @@ def scripted_expert(env: XArmSimEnv) -> np.ndarray:
     grasping = env.gripper_open() < 0.55
     grasped = grasping and abs(ee[2] - grasp_z) < 0.05 \
         and np.linalg.norm(ee[:2] - obj[:2]) < 0.03
+    if name == "peg_insert":
+        # staged pick -> transport -> threaded descent (the reference's
+        # pick-then-insert stages, env/robot/peg_insert.py:37-120). The peg
+        # is a tall thin cylinder: grip just below its TOP (palm clear of
+        # the shaft), lift gently, and require an ACTUAL hold (peg tracks
+        # the hand) before transporting — a pose-only grasp proxy happily
+        # carries air while the peg lies flung on the table.
+        lying = obj[2] < 0.035
+        grasp_z = obj[2] + (0.035 if lying else 0.06)
+        g = env.gripper_open()
+        xy_err = float(np.linalg.norm(ee[:2] - obj[:2]))
+        # a REAL pinch = both finger geoms in contact with the shaft (the
+        # finger gap equals the 24 mm peg diameter exactly at open~0.17,
+        # so no joint-reading band separates stall from transit)
+        shaft = mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_GEOM,
+                                  "peg_shaft")
+        fids = {mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_GEOM, n)
+                for n in ("lfinger", "rfinger")}
+        touch = set()
+        for i in range(env.data.ncon):
+            c = env.data.contact[i]
+            pair = {int(c.geom1), int(c.geom2)}
+            if shaft in pair:
+                touch |= pair & fids
+        # contact flickers for single steps while the solver resolves the
+        # pinch; an airborne peg hanging under the closed hand is held
+        # regardless of what the contact list says that step (a one-step
+        # false 'not held' used to open the gripper mid-transport)
+        contact_hold = len(touch) == 2 and g < 0.5
+        airborne = (obj[2] > 0.06 and xy_err < 0.03 and g < 0.5
+                    and 0.02 < (ee[2] - obj[2]) < 0.13)
+        holding = contact_hold or airborne
+        if holding and (obj[2] > 0.08 or getattr(task, "_picked", False)):
+            hole = task._site(env, "hole_goal")
+            dxy = float(np.linalg.norm(ee[:2] - hole[:2]))
+            # transport height: the gripped peg's head hangs ~0.11 under
+            # the hand; the hole walls top out at z=0.10, so the hand
+            # stays above ~0.23 while translating. Every held-phase move
+            # is speed-capped — the pinch is a ~2 N friction grip and a
+            # mocap yank slides the peg straight out of it.
+            if ee[2] < 0.22 and dxy > 0.03:
+                return np.array([0, 0, 0.25, 1.0], np.float32)  # gentle
+            if dxy > 0.005:
+                tgt = np.array([hole[0], hole[1], 0.24])
+                return np.clip(np.concatenate([(tgt - ee) * 4, [1.0]]),
+                               -0.3, 0.3).astype(np.float32) \
+                    + np.array([0, 0, 0, 0.7], np.float32)
+            # aligned over the channel: slow centered descent
+            return np.clip(np.array(
+                [(hole[0] - ee[0]) * 8, (hole[1] - ee[1]) * 8, -0.15, 1.0]),
+                -1, 1)
+        if holding:
+            return np.array([0, 0, 0.25, 1.0], np.float32)      # lift
+        aligned = xy_err < 0.01 and ee[2] <= grasp_z + 0.015
+        if aligned and g < 0.05:
+            # closed on air: reopen and rise a little, retry the grasp
+            return np.array([0, 0, 0.3, -1.0], np.float32)
+        if aligned:
+            return np.array([0, 0, 0, 1.0], np.float32)         # close
+        if xy_err > 0.01:
+            tgt = np.array([obj[0], obj[1], grasp_z + 0.10]) \
+                if ee[2] < grasp_z + 0.05 else np.array(
+                    [obj[0], obj[1], ee[2]])
+            return np.clip(np.concatenate([(tgt - ee) * 6, [-1.0]]), -1, 1)
+        return np.clip(np.concatenate(
+            [(obj[:2] - ee[:2]) * 6, [(grasp_z - ee[2]) * 4], [-1.0]]),
+            -1, 1)
     if name in ("lift", "hammer", "pick_place", "stacking", "shelf_placing",
-                "peg_in_box", "peg_insert"):
+                "peg_in_box"):
         if grasped:
             return np.array([0, 0, 1.0, 1.0], np.float32)
         if np.linalg.norm(ee[:2] - obj[:2]) > 0.012:

@@ -18,6 +18,13 @@ def main():
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--prioritized", action="store_true")
     ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--final-eval-episodes", type=int, default=0,
+                    help="after training, measure success over N fresh "
+                         "episodes and write it to --out (the reference's "
+                         "env-success evaluation protocol, src/train_bc.py"
+                         ":42-77 / train_rl.py)")
+    ap.add_argument("--out", default=None,
+                    help="write {task, steps, final_success_rate, ...} JSON")
     args = ap.parse_args()
 
     from real_robot_nerf_actor_tpu.utils.cache import enable_persistent_cache
@@ -72,6 +79,32 @@ def main():
             logger.log({"eval_success_rate": succ / 5}, step + 1,
                        category="eval")
             obs, _ = env.reset(seed=ep)
+
+    if args.final_eval_episodes > 0:
+        succ, rets = 0.0, []
+        for e in range(args.final_eval_episodes):
+            o, _ = env.reset(seed=20000 + e)
+            ret = 0.0
+            for _ in range(args.episode_length):
+                o, r, tm, tc, inf = env.step(agent.select_action(o))
+                ret += r
+                if tm or tc:
+                    break
+            succ += float(inf.get("episode_success", 0))
+            rets.append(ret)
+        rate = succ / args.final_eval_episodes
+        print(f"[rl] final success over {args.final_eval_episodes} eps: "
+              f"{rate:.2f}")
+        if args.out:
+            import json
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump({"task": args.task, "algo": "sac",
+                           "obs_mode": args.obs_mode,
+                           "train_steps": args.steps,
+                           "final_eval_episodes": args.final_eval_episodes,
+                           "final_success_rate": rate,
+                           "mean_return": float(np.mean(rets))}, f, indent=1)
 
 
 if __name__ == "__main__":
