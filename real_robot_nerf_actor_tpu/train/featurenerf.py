@@ -230,9 +230,13 @@ class FeatureNerfTrainer:
             if sc.features is not None:
                 dev["features"] = jnp.asarray(sc.features)
             if getattr(sc, "cls_attn", None) is not None:
-                # Scene stores (N, heads, hf, wf); the step wants NHWC.
+                # Scene stores (N, heads, hf, wf) for a ViT teacher, or
+                # (N, hf, wf) single-channel saliency from the contrastive
+                # teacher (train/teacher.py feature_maps); step wants NHWC.
+                attn = np.asarray(sc.cls_attn)
                 dev["cls_attn"] = jnp.asarray(
-                    np.asarray(sc.cls_attn).transpose(0, 2, 3, 1))
+                    attn[..., None] if attn.ndim == 3
+                    else attn.transpose(0, 2, 3, 1))
             staged.append(dev)
         while True:
             dev = staged[int(rng.integers(0, len(staged)))]
