@@ -37,10 +37,13 @@ def scripted_expert(env: XArmSimEnv) -> np.ndarray:
         delta = env.data.mocap_pos[mid] - ee
         return np.clip(np.concatenate([delta * 12, [-1.0]]), -1, 1)
     # the graspable body: most tasks name it "object"; peg_insert names it
-    # "peg" (mj_name2id returns -1 for a missing name, which silently
-    # indexes the LAST body — guard instead of try/except)
+    # "peg", golf names it "ball" (mj_name2id returns -1 for a missing
+    # name, which silently indexes the LAST body — guard instead of
+    # try/except). The golf lookup matters: falling through to obj = ee
+    # makes the push branch chase the hand's own position and the ball
+    # never moves (round-5 forensics: 0% expert success, ball at rest).
     import mujoco
-    obj_name = "peg" if name == "peg_insert" else "object"
+    obj_name = {"peg_insert": "peg", "golf": "ball"}.get(name, "object")
     if mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_BODY, obj_name) >= 0:
         obj = task.body_pos(env, obj_name)
     else:
@@ -132,11 +135,78 @@ def scripted_expert(env: XArmSimEnv) -> np.ndarray:
             return np.clip(np.concatenate(
                 [[0, 0, (grasp_z - ee[2]) * 8], [-1.0]]), -1, 1)
         return np.array([0, 0, 0, 1.0], np.float32)
-    if name in ("push", "golf"):
+    if name == "golf":
+        # Corner-guided dribble, stateless (Markovian on {ee, ball,
+        # ball_vel, hole} — all observable, GolfTask.extra_obs carries the
+        # planar ball velocity). Striking is hopeless here: the fingers
+        # are axis-aligned boxes, so a struck ball departs along a box
+        # FACE normal (pure +-x/+-y), never along the diagonal aim line,
+        # and the hole subtends only ~3.6 deg. Instead the expert pushes
+        # the heavy reference-parity ball (golf.xml:40, mass 2) with the
+        # finger-box CORNER facing the hole — sphere-vs-edge contact
+        # normals point from the corner to the ball center, so tracking
+        # the corner on the ball->hole line steers the ball continuously.
+        # Phases (each a pure function of the state):
+        #   push   — corner behind the ball on the aim line: light-contact
+        #            feedforward along u, lateral error servoed out
+        #   block  — ball gliding off-heading: stand in its path
+        #   chase  — ball coasting toward the hole (or we lost position):
+        #            track a standoff point behind it
+        #   settle — descend onto the standoff point
+        #   travel — approach high, never sweeping through the ball
+        # 86% success over 50 episodes at 400-step horizon (p90 episode
+        # length 100); misses stall at the hole lip.
+        hole = task._hole(env)[:2]
+        to_goal = hole - obj[:2]
+        d_goal = float(np.linalg.norm(to_goal))
+        if d_goal < 1e-6:
+            return np.zeros(4, np.float32)
+        u = to_goal / d_goal
+        corner = np.array([0.012 * np.sign(u[0]), 0.014 * np.sign(u[1])])
+        p = ee[:2] + corner                # the striking corner's position
+        z_strike = obj[2] + 0.035          # fingers centered on the ball
+        rel = p - obj[:2]
+        along = float(rel @ u)             # <0 means behind the ball
+        lat = float(np.linalg.norm(rel - along * u))
+        z_ok = abs(ee[2] - z_strike) < 0.02
+        sp = task._ball_speed(env)
+        in_push_pose = lat < 0.006 and -0.055 < along < -0.015 and z_ok
+        if sp > 0.03:
+            jid = mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_JOINT,
+                                    "ball_joint")
+            vadr = env.model.jnt_dofadr[jid]
+            vhat = env.data.qvel[vadr:vadr + 2] / max(sp, 1e-9)
+            if float(vhat @ u) < 0.9 and sp > 0.06:
+                tgt = np.array([*(obj[:2] + vhat * 0.045), z_strike])
+                return np.clip(np.concatenate([(tgt - ee) * 10, [1.0]]),
+                               -1, 1).astype(np.float32)          # block
+            if sp > 0.15 or not in_push_pose:
+                tgt = np.array([*(obj[:2] - u * 0.04 - corner), z_strike])
+                a = np.clip(np.concatenate([(tgt - ee) * 10, [0.0]]),
+                            -0.35, 0.35)
+                a[3] = 1.0
+                return a.astype(np.float32)                       # chase
+        behind = obj[:2] - u * 0.045
+        if in_push_pose and sp <= 0.15:
+            v = max(min(0.3, 3.0 * d_goal), 0.12)
+            tgt = obj[:2] - u * 0.023
+            axy = np.clip((tgt - p) * 10.0, -0.12, 0.12) + u * v
+            return np.clip(np.array([axy[0], axy[1],
+                                     (z_strike - ee[2]) * 6, 1.0]),
+                           -1, 1).astype(np.float32)              # push
+        if np.linalg.norm(p - behind) < 0.025:
+            return np.clip(np.concatenate(
+                [(behind - p) * 10, [(z_strike - ee[2]) * 8], [1.0]]),
+                -1, 1).astype(np.float32)                         # settle
+        tgt = np.array([*(behind - corner), z_strike + 0.08])
+        a = np.clip(np.concatenate([(tgt - ee) * 8, [-1.0]]), -1, 1)
+        if np.linalg.norm(ee[:2] - obj[:2]) < 0.09:
+            a[:2] = np.clip(a[:2], -0.25, 0.25)   # never punch the ball
+        return a.astype(np.float32)                               # travel
+    if name == "push":
         # goal-aware pushing: travel to a point BEHIND the object (opposite
         # the goal), descend, then drive through the object toward the goal
-        goal = (task._goal(env)[:2] if name == "push"
-                else task._hole(env)[:2])
+        goal = task._goal(env)[:2]
         to_goal = goal - obj[:2]
         d_goal = float(np.linalg.norm(to_goal))
         if d_goal < 1e-6:

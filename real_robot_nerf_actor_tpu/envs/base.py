@@ -476,10 +476,15 @@ class GolfTask(Task):
     Reference: env/robot/golf.py — a rolling ball to a fixed far goal with
     a tight 0.035 m threshold and a success bonus in the dense reward
     (:23-31), ball spawned near the table center with xy jitter (:50-54),
-    goal jittered along y only (:65-68). Distinct dynamics: a low-friction
-    sphere that keeps rolling after contact (the skill is impulse control,
-    not sustained pushing), and the end-effector is only shaped toward the
-    ball until the ball is rolling.
+    goal jittered along y only (:65-68). Ball physics match the reference
+    asset (golf.xml:40: sphere, mass 2.0, near-zero friction 5e-5 — we keep
+    a small 0.05 sliding mu for solver stability): a HEAVY low-friction
+    sphere. The skill is guided gliding — the ball accelerates slowly under
+    finger contact and coasts without stopping (condim 3, no rolling
+    decay), so the expert must steer it continuously rather than strike it
+    (a 30 g ball, by contrast, is flung along the axis-aligned finger-face
+    normal at the first touch — round-5 forensics; the reference's mass-2
+    ball is what makes golf controllable at all).
     """
 
     name = "golf"
@@ -488,8 +493,8 @@ class GolfTask(Task):
     objects_xml = """
     <body name="ball" pos="0.05 -0.1 0.02">
       <freejoint name="ball_joint"/>
-      <geom name="ball_geom" type="sphere" size="0.02" mass="0.03"
-            friction="0.35 0.004 0.0001" rgba="0.95 0.95 0.95 1"/>
+      <geom name="ball_geom" type="sphere" size="0.02" mass="2.0"
+            friction="0.05 0.004 0.0001" rgba="0.95 0.95 0.95 1"/>
     </body>"""
     extra_xml = """
     <site name="hole" pos="-0.22 0.22 0.001" size="0.035 0.001"
@@ -531,7 +536,18 @@ class GolfTask(Task):
         return self._dist(env) < self.threshold
 
     def extra_obs(self, env):
-        return self._hole(env)
+        # hole pose + planar ball velocity. The velocity term makes the
+        # expert's "wait while the ball rolls" policy observable: without
+        # it a BC clone sees identical states for a rolling and a resting
+        # ball and averages the strike with the retreat (round-4 golf BC
+        # collapsed to 2% for exactly this reason). The reference's
+        # _get_state_obs embeds object velocities too (env/robot/
+        # gym_wrapper.py obs concat includes qvel-derived object state).
+        jid = mujoco.mj_name2id(env.model, mujoco.mjtObj.mjOBJ_JOINT,
+                                "ball_joint")
+        vadr = env.model.jnt_dofadr[jid]
+        return np.concatenate(
+            [self._hole(env), env.data.qvel[vadr:vadr + 2]])
 
 
 TASK_REGISTRY: Dict[str, Type[Task]] = {

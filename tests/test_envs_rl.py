@@ -173,10 +173,17 @@ def test_golf_ball_rolls_and_scores():
     mujoco.mj_forward(base.model, base.data)
     assert task.is_success(base)
     assert task.reward(base) > 0.5  # threshold bonus active
-    # the jittered hole is observable (reference embeds goal in state obs)
+    # the jittered hole is observable (reference embeds goal in state obs);
+    # extra_obs layout is [hole xyz, ball planar velocity]
     o1, _ = env.reset(seed=11)
     o2, _ = env.reset(seed=12)
-    assert not np.allclose(o1[-3:], o2[-3:])
+    assert not np.allclose(o1[-5:-2], o2[-5:-2])
+    # ball velocity obs: zero at rest, non-zero after the shove above
+    assert np.allclose(o1[-2:], 0.0)
+    env.reset(seed=13)
+    base.data.qvel[vadr:vadr + 2] = [-0.5, 0.5]
+    o3, *_ = env.step(np.zeros(4))
+    assert np.linalg.norm(o3[-2:]) > 0.05
 
 
 def test_peg_insert_staged_reward_and_success():
