@@ -34,6 +34,10 @@ class Task:
     name = "task"
     objects_xml = ""
     extra_xml = ""
+    # task-local <contact>/<equality>-level MJCF appended OUTSIDE
+    # <worldbody> (e.g. a contact pair overriding finger-object friction
+    # for this task only, leaving every other task's physics untouched)
+    root_xml = ""
 
     def reset(self, model, data, rng: np.random.Generator):
         pass
@@ -362,6 +366,21 @@ class PegInsertTask(Task):
             rgba="0.35 0.35 0.4 1"/>
       <site name="hole_goal" pos="0 0 -0.035" size="0.005" rgba="0 1 0 0.5"/>
     </body>"""
+    # the shared gripper's position servos (kp=120) pinch a 24 mm shaft at
+    # ~0.7 N/finger; at the global friction that holds <1.5 N and the 0.8 N
+    # peg slides through the grip during any lift (round-5 trace: ~6 mm/step
+    # slip until the peg falls out of the finger span). Real grippers pad
+    # their jaws — model that with a task-LOCAL high-friction contact pair
+    # so every other task keeps the stock physics. (Reference peg_insert
+    # relies on the vendored xArm gripper's much stiffer actuators,
+    # env/robot/peg_insert.py.)
+    root_xml = """
+  <contact>
+    <pair geom1="lfinger" geom2="peg_shaft" friction="6 6 0.05 0.01 0.01"
+          solref="0.002 1" solimp="0.99 0.999 0.0001"/>
+    <pair geom1="rfinger" geom2="peg_shaft" friction="6 6 0.05 0.01 0.01"
+          solref="0.002 1" solimp="0.99 0.999 0.0001"/>
+  </contact>"""
 
     def __init__(self):
         self._picked = False
@@ -373,6 +392,7 @@ class PegInsertTask(Task):
 
     def reset(self, model, data, rng):
         self._picked = False
+        self._expert_hold = False  # scripted-expert hold latch (demos.py)
         jadr = model.jnt_qposadr[mujoco.mj_name2id(
             model, mujoco.mjtObj.mjOBJ_JOINT, "peg_joint")]
         data.qpos[jadr:jadr + 3] = [*(np.array([0.08, -0.05])
@@ -602,6 +622,7 @@ _SCENE_TEMPLATE = """
     <position joint="lfinger_joint" kp="120" ctrlrange="0 0.036"/>
     <position joint="rfinger_joint" kp="120" ctrlrange="0 0.036"/>
   </actuator>
+  {root}
 </mujoco>
 """
 
@@ -623,7 +644,8 @@ class XArmSimEnv(gym.Env):
         self.task: Task = TASK_REGISTRY[task_name]()
         xml = _SCENE_TEMPLATE.format(task=task_name,
                                      objects=self.task.objects_xml,
-                                     extra=self.task.extra_xml)
+                                     extra=self.task.extra_xml,
+                                     root=self.task.root_xml)
         self.model = mujoco.MjModel.from_xml_string(xml)
         self.data = mujoco.MjData(self.model)
         self.obs_mode = obs_mode
