@@ -65,6 +65,21 @@ class NerfFieldConfig:
     # — ops/resnetfc_pallas.py) with W8A8 int8 or bf16 block matmuls.
     # Forward/serving only; training and non-compact paths use XLA.
     mlp_backend: str = "xla"  # "xla" | "pallas_int8" | "pallas_bf16"
+    # static per-layer int8 ACTIVATION scales (pallas_int8 only): calibrate
+    # once per scene via NeuralRenderer.calibrate_int8_act() and the
+    # per-row amax reduce+divide inside the kernel collapses to one
+    # multiply+round against a compile-time scalar. SEMANTICS CHANGE vs
+    # dynamic quant: rows hotter than the calibration range saturate at
+    # +-127 (quality-gated at serving like every int8 delta; see
+    # tests/test_resnetfc_pallas.py::test_static_act_scales*).
+    int8_static_act: bool = False
+    # gather-fused serving kernel (pallas_int8/pallas_bf16 only): corner
+    # gather + trilinear lerp + the whole ResnetFC run as ONE kernel whose
+    # double-buffered row DMAs hide the gather's descriptor-floor cost and
+    # the lerp behind the MXU block matmuls (ops/resnetfc_pallas.py
+    # fused_gather_resnetfc_int8). EXACT vs the unfused fused-MLP path
+    # (bit-equal in tests); off by default until TPU-measured.
+    gather_fused_mlp: bool = False
     # hard-zero sigma for points outside coord_bounds (instant-NGP-style
     # bounded domain). The reference field (models_embed.py) is unbounded:
     # grid_sample clamps the latent, so a trained field can paint density

@@ -144,7 +144,7 @@ def pack_resnetfc_params(mlp_params: dict, d_latent: int = 64,
 def _kernel(zi_ref, w_a_ref, w_s_ref, w_c_ref, b_in_ref, wz_ref, bz_ref,
             wq_ref, ws_ref, bq_ref, w_out_ref, b_out_ref, hidden_ref,
             out_ref, *, n_blocks: int, combine_layer: int,
-            quantized: bool):
+            quantized: bool, act_scales=None):
     zi = zi_ref[...]                                       # (BN, 128) bf16
 
     def int8_dense(t, idx):
@@ -153,9 +153,19 @@ def _kernel(zi_ref, w_a_ref, w_s_ref, w_c_ref, b_in_ref, wz_ref, bz_ref,
                                 preferred_element_type=jnp.float32)
                     + bq_ref[idx][None])
         t32 = t.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(t32), axis=1, keepdims=True)
-        xs = amax / 127.0 + 1e-8
-        tq = jnp.clip(jnp.round(t32 / xs), -127, 127).astype(jnp.int8)
+        if act_scales is None:
+            # dynamic per-row symmetric quant: exactness-friendly but the
+            # row amax reduce + divide cost ~1/3 of the int8 MXU win
+            xs = jnp.max(jnp.abs(t32), axis=1, keepdims=True) / 127.0 + 1e-8
+            inv = 1.0 / xs
+        else:
+            # STATIC per-layer scale (calibrated offline, a compile-time
+            # scalar): quant becomes one multiply+round; rows beyond the
+            # calibration range saturate at +-127 (documented semantics,
+            # quality-gated at serving like every other int8 delta)
+            xs = float(act_scales[idx])
+            inv = 1.0 / xs
+        tq = jnp.clip(jnp.round(t32 * inv), -127, 127).astype(jnp.int8)
         acc = jax.lax.dot(tq, wq_ref[idx],
                           preferred_element_type=jnp.int32)
         return (acc.astype(jnp.float32) * xs * ws_ref[idx][None]
@@ -187,12 +197,47 @@ def _kernel(zi_ref, w_a_ref, w_s_ref, w_c_ref, b_in_ref, wz_ref, bz_ref,
                     + b_out_ref[...][None]).astype(jnp.bfloat16)
 
 
+def capture_act_amax(zi: jnp.ndarray, packed_bf16: dict, n_blocks: int = 5,
+                     combine_layer: int = 3) -> jnp.ndarray:
+    """Plain-XLA mirror of _kernel's forward recording the abs-max of each
+    int8 matmul's input activations (the relu'd t/u of every block) —
+    the offline calibration pass behind static activation scales.
+    packed_bf16 = pack_resnetfc_params(..., quantize=False). Returns
+    (2*n_blocks,) float32 amax over the calibration rows."""
+    zi = zi.astype(jnp.bfloat16)
+    zi32 = zi.astype(jnp.float32)
+    f32 = functools.partial(jax.lax.dot, preferred_element_type=jnp.float32)
+    h = (f32(zi, packed_bf16["w_a"])
+         + f32(jnp.sin(zi32).astype(jnp.bfloat16), packed_bf16["w_s"])
+         + f32(jnp.cos(zi32).astype(jnp.bfloat16), packed_bf16["w_c"])
+         + packed_bf16["b_in"][None])
+    amaxes = []
+    for blk in range(n_blocks):
+        if blk < combine_layer:
+            h = h + (f32(zi, packed_bf16["wz"][blk])
+                     + packed_bf16["bz"][blk][None])
+        t = jnp.maximum(h.astype(jnp.bfloat16), 0)
+        amaxes.append(jnp.max(jnp.abs(t.astype(jnp.float32))))
+        a0 = f32(t, packed_bf16["wq"][2 * blk]) + packed_bf16["bq"][2 * blk][None]
+        u = jnp.maximum(a0.astype(jnp.bfloat16), 0)
+        amaxes.append(jnp.max(jnp.abs(u.astype(jnp.float32))))
+        a1 = (f32(u, packed_bf16["wq"][2 * blk + 1])
+              + packed_bf16["bq"][2 * blk + 1][None])
+        h = h + a1
+    return jnp.stack(amaxes)
+
+
 def fused_resnetfc_int8(zi: jnp.ndarray, packed: dict, n_blocks: int = 5,
                         combine_layer: int = 3, bn: int = 512,
-                        quantized: bool = True):
+                        quantized: bool = True, act_scales=None):
     """zi: (N, 128) bf16 from pack_mlp_input. Returns (out (N, 128) bf16 —
     head dims in the leading columns, hidden (N, 512) bf16 — relu'd last
-    hidden for late embed projection)."""
+    hidden for late embed projection).
+
+    act_scales: optional host-side sequence of 2*n_blocks floats (from
+    capture_act_amax()/127) — switches activation quant from dynamic
+    per-row to static per-layer scales baked into the kernel as
+    compile-time constants."""
     n, k = zi.shape
     assert k == 128
     pad = (-n) % bn
@@ -208,9 +253,13 @@ def fused_resnetfc_int8(zi: jnp.ndarray, packed: dict, n_blocks: int = 5,
 
     args = [packed[k2] for k2 in ("w_a", "w_s", "w_c", "b_in", "wz", "bz",
                                   "wq", "ws", "bq", "w_out", "b_out")]
+    if act_scales is not None:
+        act_scales = tuple(float(s) for s in act_scales)
+        assert len(act_scales) == 2 * n_blocks, (len(act_scales), n_blocks)
     hidden, out = pl.pallas_call(
         functools.partial(_kernel, n_blocks=n_blocks,
-                          combine_layer=combine_layer, quantized=quantized),
+                          combine_layer=combine_layer, quantized=quantized,
+                          act_scales=act_scales),
         grid=(npad // bn,),
         in_specs=[pl.BlockSpec((bn, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
@@ -227,4 +276,211 @@ def fused_resnetfc_int8(zi: jnp.ndarray, packed: dict, n_blocks: int = 5,
         ],
         interpret=jax.default_backend() != "tpu",
     )(zi, *args)
+    return out[:n], hidden[:n]
+
+
+# ---------------------------------------------------------------------------
+# Gather-fused variant: corner gather + trilinear lerp + the whole ResnetFC
+# in ONE kernel. The serving pipeline's remaining non-MXU cost is the
+# corner-row gather (23.6 ms at the ~11.4 ns/row descriptor floor) and the
+# lerp (5.4 ms HBM floor), both SERIALIZED with the 44.2 ms int8 MLP by XLA's
+# dependence chain (BENCH_NOTES round 3). Here the kernel double-buffers
+# per-row DMAs from the corner-expanded grid (HBM-resident, memory_space=ANY)
+# against the MXU block matmuls, so gather+lerp hide behind compute: the
+# descriptor engine processes ~512 row descriptors (5.8 us) while the core
+# runs the same block's ~6.8 us of int8 matmuls.
+#
+# Math is EXACT vs the unfused path (gather -> corner_lerp ->
+# fused_resnetfc_int8): zi never materializes, so the zero-padded selector
+# matrices collapse to their live rows — the first layer contracts the
+# (24, BN) aux block directly (w_a/w_s/w_c rows outside [canon0, width) are
+# zero by construction in pack_resnetfc_params, and sin/cos of the dropped
+# lanes only ever met those zero rows), and the latent skip contracts the
+# lerped (BN, d_latent) block against wz's live rows.
+# ---------------------------------------------------------------------------
+
+
+def slice_gather_weights(packed: dict, d_latent: int = 64,
+                         num_freqs: int = 6) -> dict:
+    """Trace-time views of pack_resnetfc_params output for the gather-fused
+    kernel: aux rows of the first-layer/selector matrices and latent rows of
+    the injection matrices. Exact — the dropped rows are zero."""
+    canon0, _, _, width = input_row_layout(d_latent, num_freqs)
+    return {
+        "a_aux": packed["w_a"][canon0:width],      # (24, 512) bf16
+        "s_aux": packed["w_s"][canon0:width],
+        "c_aux": packed["w_c"][canon0:width],
+        "b_in": packed["b_in"],
+        "wz_lat": packed["wz"][:, :d_latent],      # (ncomb, 64, 512) bf16
+        "bz": packed["bz"],
+        "wq": packed["wq"], "ws": packed["ws"], "bq": packed["bq"],
+        "w_out": packed["w_out"], "b_out": packed["b_out"],
+    }
+
+
+def _gather_kernel(vox_ref, idx_cur_ref, idx_next_ref, w8_ref, aux_ref,
+                   a_aux_ref, s_aux_ref, c_aux_ref, b_in_ref, wz_ref, bz_ref,
+                   wq_ref, ws_ref, bq_ref, w_out_ref, b_out_ref,
+                   hidden_ref, out_ref, rows_buf, sem, *, n_blocks: int,
+                   combine_layer: int, quantized: bool, bn: int,
+                   d_latent: int, act_scales=None):
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    def issue(idx_ref, s):
+        def body(j, _):
+            pltpu.make_async_copy(
+                vox_ref.at[pl.ds(idx_ref[j], 1), :],
+                rows_buf.at[s, pl.ds(j, 1), :],
+                sem.at[s]).start()
+            return _
+        jax.lax.fori_loop(0, bn, body, None)
+
+    @pl.when(i == 0)
+    def _():
+        issue(idx_cur_ref, slot)          # prologue: block 0's own rows
+
+    @pl.when(i + 1 < n_i)
+    def _():
+        issue(idx_next_ref, nslot)        # overlap: next block's rows
+
+    def wait(j, _):
+        pltpu.make_async_copy(
+            vox_ref.at[pl.ds(idx_cur_ref[j], 1), :],
+            rows_buf.at[slot, pl.ds(j, 1), :],
+            sem.at[slot]).wait()
+        return _
+    jax.lax.fori_loop(0, bn, wait, None)
+
+    rows = rows_buf[slot]                                  # (BN, 8*dl) bf16
+    wt = w8_ref[...].T                                     # (BN, 8) f32
+    lat = rows[:, :d_latent].astype(jnp.float32) * wt[:, 0:1]
+    for c in range(1, 8):
+        lat += rows[:, c * d_latent:(c + 1) * d_latent].astype(
+            jnp.float32) * wt[:, c:c + 1]
+    lat = lat.astype(jnp.bfloat16)                         # (BN, d_latent)
+
+    def int8_dense(t, idx):
+        if not quantized:
+            return (jax.lax.dot(t, wq_ref[idx],
+                                preferred_element_type=jnp.float32)
+                    + bq_ref[idx][None])
+        t32 = t.astype(jnp.float32)
+        if act_scales is None:
+            xs = jnp.max(jnp.abs(t32), axis=1, keepdims=True) / 127.0 + 1e-8
+            inv = 1.0 / xs
+        else:
+            xs = float(act_scales[idx])
+            inv = 1.0 / xs
+        tq = jnp.clip(jnp.round(t32 * inv), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot(tq, wq_ref[idx],
+                          preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * xs * ws_ref[idx][None]
+                + bq_ref[idx][None])
+
+    aux_t = aux_ref[...].T                                 # (BN, 24) bf16
+    aux32 = aux_t.astype(jnp.float32)
+    h = (jax.lax.dot(aux_t, a_aux_ref[...],
+                     preferred_element_type=jnp.float32)
+         + jax.lax.dot(jnp.sin(aux32).astype(jnp.bfloat16), s_aux_ref[...],
+                       preferred_element_type=jnp.float32)
+         + jax.lax.dot(jnp.cos(aux32).astype(jnp.bfloat16), c_aux_ref[...],
+                       preferred_element_type=jnp.float32)
+         + b_in_ref[...][None])                            # (BN, 512) f32
+    for blk in range(n_blocks):
+        if blk < combine_layer:
+            h = h + (jax.lax.dot(lat, wz_ref[blk],
+                                 preferred_element_type=jnp.float32)
+                     + bz_ref[blk][None])
+        t = jnp.maximum(h.astype(jnp.bfloat16), 0)
+        a0 = int8_dense(t, 2 * blk)
+        u = jnp.maximum(a0.astype(jnp.bfloat16), 0)
+        a1 = int8_dense(u, 2 * blk + 1)
+        h = h + a1
+    hidden = jnp.maximum(h, 0).astype(jnp.bfloat16)
+    hidden_ref[...] = hidden
+    out_ref[...] = (jax.lax.dot(hidden, w_out_ref[...],
+                                preferred_element_type=jnp.float32)
+                    + b_out_ref[...][None]).astype(jnp.bfloat16)
+
+
+def fused_gather_resnetfc_int8(vox_rows: jnp.ndarray, flat: jnp.ndarray,
+                               w8: jnp.ndarray, aux: jnp.ndarray,
+                               packed: dict, d_latent: int = 64,
+                               num_freqs: int = 6, n_blocks: int = 5,
+                               combine_layer: int = 3, bn: int = 512,
+                               quantized: bool = True, act_scales=None):
+    """Gather-fused serving forward.
+
+    vox_rows: (cells, 8*d_latent) bf16/f32 — the corner-expanded voxel
+      grid flattened to rows (stays in HBM; the kernel DMA-gathers per
+      sample; lerp accumulates f32 and rounds to bf16 AFTER, matching the
+      unfused corner_lerp -> zi-cast chain for either row dtype).
+    flat: (N,) int32 in-bounds row indices; w8: (8, N) f32 lerp weights;
+    aux: (24, N) bf16 [canon|dirs|wrapped phases] — all straight from
+    ops.ray_expand_pallas.ray_expand. packed: pack_resnetfc_params output.
+    Returns (out (N, 128) bf16, hidden (N, d_hidden) bf16), rows in the
+    same (K-major) sample order as the inputs."""
+    assert vox_rows.dtype in (jnp.bfloat16, jnp.float32), vox_rows.dtype
+    assert vox_rows.shape[1] == 8 * d_latent, vox_rows.shape
+    n = flat.shape[0]
+    pad = (-n) % bn
+    if pad:
+        flat = jnp.pad(flat, (0, pad))          # 0 is a valid (masked) row
+        w8 = jnp.pad(w8, ((0, 0), (0, pad)))
+        aux = jnp.pad(aux, ((0, 0), (0, pad)))
+    npad = n + pad
+    d_hidden = packed["wq"].shape[-1]
+    sliced = slice_gather_weights(packed, d_latent, num_freqs)
+    wnames = ("a_aux", "s_aux", "c_aux", "b_in", "wz_lat", "bz",
+              "wq", "ws", "bq", "w_out", "b_out")
+    wargs = [sliced[k] for k in wnames]
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    if act_scales is not None:
+        act_scales = tuple(float(s) for s in act_scales)
+        assert len(act_scales) == 2 * n_blocks, (len(act_scales), n_blocks)
+    nblk = npad // bn
+    hidden, out = pl.pallas_call(
+        functools.partial(_gather_kernel, n_blocks=n_blocks,
+                          combine_layer=combine_layer, quantized=quantized,
+                          bn=bn, d_latent=d_latent, act_scales=act_scales),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),              # vox_rows
+            pl.BlockSpec((bn,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),             # idx cur
+            pl.BlockSpec((bn,), lambda i, _n=nblk: (jnp.minimum(i + 1,
+                                                                _n - 1),),
+                         memory_space=pltpu.SMEM),             # idx next
+            pl.BlockSpec((8, bn), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),             # w8
+            pl.BlockSpec((24, bn), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),             # aux
+        ] + [const_spec(a) for a in wargs],
+        out_specs=[
+            pl.BlockSpec((bn, d_hidden), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, d_hidden), jnp.bfloat16),
+            jax.ShapeDtypeStruct((npad, 128), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, bn, 8 * d_latent), vox_rows.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=jax.default_backend() != "tpu",
+    )(vox_rows, flat, flat, w8.astype(jnp.float32),
+      aux.astype(jnp.bfloat16), *wargs)
     return out[:n], hidden[:n]

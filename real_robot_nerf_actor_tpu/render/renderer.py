@@ -237,6 +237,99 @@ class NeuralRenderer:
         return (self.cfg.field.mlp_backend in ("pallas_int8", "pallas_bf16")
                 and compact and self.field.share_mlp)
 
+    def _expand_rays_int8(self, voxel_feat, rays, z_samp, bn: int = 256):
+        """Run the ray-expansion kernel for (rays x z_samp) against the
+        corner-expanded grid. Returns (auxT (24, N), w8T (8, N),
+        flatT (N,), r, rp, k) with N = k * rp, sample order K-major."""
+        from real_robot_nerf_actor_tpu.ops.ray_expand_pallas import (
+            ray_expand)
+        c = self.cfg.field
+        assert c.use_code and c.use_viewdirs, "fused int8 covers the " \
+            "flagship input layout (positional code + viewdirs)"
+        r, k = z_samp.shape
+        pad_r = (-r) % bn
+        if pad_r:
+            rays_p = jnp.concatenate(
+                [rays, jnp.broadcast_to(rays[:1], (pad_r, rays.shape[1]))])
+            z_p = jnp.concatenate(
+                [z_samp, jnp.broadcast_to(z_samp[:1], (pad_r, k))])
+        else:
+            rays_p, z_p = rays, z_samp
+        rp = r + pad_r
+        _, dp, hp, wp, _ = voxel_feat.shape
+        dims = (dp - 1, hp - 1, wp - 1)
+        auxT, w8T, flatT = ray_expand(rays_p, z_p, dims, c.coord_bounds,
+                                      c.num_freqs, c.freq_factor, bn=bn)
+        n = k * rp
+        return (auxT.reshape(auxT.shape[0], n), w8T.reshape(8, n),
+                flatT.reshape(n), r, rp, k)
+
+    def _assemble_zi_int8(self, voxel_feat, rays, z_samp, bn: int = 256):
+        """Build the fused kernel's packed (N, 128) bf16 input rows for
+        (rays x z_samp) against the corner-expanded grid. Shared by the
+        serving forward and int8-activation calibration so the calibrated
+        scales see the EXACT rows the kernel will quantize. Returns
+        (zi, r, rp, k) with N = k * rp, sample order K-major."""
+        from real_robot_nerf_actor_tpu.ops.lerp_pallas import corner_lerp
+        c = self.cfg.field
+        auxT, w8T, flatT = self._expand_rays_int8(
+            voxel_feat, rays, z_samp, bn)[:3]
+        r, k = z_samp.shape
+        n = flatT.shape[0]
+        _, dp, hp, wp, c8 = voxel_feat.shape
+        rows = jnp.take_along_axis(
+            voxel_feat.reshape(1, dp * hp * wp, c8),
+            flatT[None, :, None], axis=1,
+            mode="promise_in_bounds")[0]
+        latent = corner_lerp(rows, w8T)                    # (N, d_latent)
+        aux_rows = auxT.T                                  # (N, 24)
+        width = c.d_latent + aux_rows.shape[1]
+        zi = jnp.concatenate(
+            [latent.astype(jnp.bfloat16), aux_rows,
+             jnp.zeros((n, 128 - width), jnp.bfloat16)], axis=-1)
+        return zi, r, n // k, k
+
+    def calibrate_int8_act(self, params, voxel_feat, rays, key=None,
+                           n_rays: int = 512, margin: float = 1.05):
+        """Host-side calibration for field.int8_static_act (run OUTSIDE
+        jit, once per scene/checkpoint, before the serving render
+        compiles): stratified z over a subset of the serving rays,
+        assemble the kernel's exact zi rows, record each block matmul's
+        activation abs-max, store static per-layer scales as host floats
+        (compile-time constants — recalibrating with different data
+        triggers one recompile, the intended serving lifecycle).
+
+        margin: headroom multiplier over the calibration amax — rows
+        hotter than margin*amax saturate at +-127.
+        """
+        from real_robot_nerf_actor_tpu.ops.resnetfc_pallas import (
+            capture_act_amax, pack_resnetfc_params)
+        c = self.cfg.field
+        if key is None:
+            key = jax.random.key(0)
+        if voxel_feat.shape[-1] == c.d_latent:   # accept the raw grid too
+            voxel_feat = expand_corners(voxel_feat).astype(
+                jnp.dtype(c.compute_dtype))
+        k_sub, k_z = jax.random.split(key)
+        if rays.shape[0] > n_rays:
+            idx = jax.random.choice(k_sub, rays.shape[0], (n_rays,),
+                                    replace=False)
+            rays = jnp.take(rays, idx, axis=0)
+        z = sample_coarse(k_z, rays, self.cfg.n_coarse + self.cfg.n_fine,
+                          self.cfg.lindisp)
+        zi, _, _, _ = self._assemble_zi_int8(voxel_feat, rays, z)
+        packed = pack_resnetfc_params(
+            params["params"]["mlp_coarse"], d_latent=c.d_latent,
+            num_freqs=c.num_freqs, d_hidden=c.d_hidden,
+            n_blocks=c.n_blocks, combine_layer=c.combine_layer,
+            quantize=False)
+        amax = jax.jit(capture_act_amax, static_argnames=(
+            "n_blocks", "combine_layer"))(zi, packed, n_blocks=c.n_blocks,
+                                          combine_layer=c.combine_layer)
+        self._int8_act_scales = tuple(
+            float(a) * margin / 127.0 + 1e-8 for a in jax.device_get(amax))
+        return self._int8_act_scales
+
     def _eval_points_fused_int8(self, params, voxel_feat, rays, z_samp):
         """Serving path (pre-expanded grid): the ray-expansion kernel
         (ops/ray_expand_pallas.py) emits every per-sample field in its
@@ -248,49 +341,38 @@ class NeuralRenderer:
         hidden stays (K, R, D) for the compositing einsum. Mirrors
         VoxelNerfField.__call__'s compact path (same params, W8A8
         numerics)."""
-        from real_robot_nerf_actor_tpu.ops.lerp_pallas import corner_lerp
-        from real_robot_nerf_actor_tpu.ops.ray_expand_pallas import (
-            ray_expand)
         from real_robot_nerf_actor_tpu.ops.resnetfc_pallas import (
-            fused_resnetfc_int8, pack_resnetfc_params)
+            fused_gather_resnetfc_int8, fused_resnetfc_int8,
+            pack_resnetfc_params)
         c = self.cfg.field
-        assert c.use_code and c.use_viewdirs, "fused int8 covers the " \
-            "flagship input layout (positional code + viewdirs)"
-        r, k = z_samp.shape
-        bn = 256
-        pad_r = (-r) % bn
-        if pad_r:
-            rays_p = jnp.concatenate(
-                [rays, jnp.broadcast_to(rays[:1], (pad_r, rays.shape[1]))])
-            z_p = jnp.concatenate(
-                [z_samp, jnp.broadcast_to(z_samp[:1], (pad_r, k))])
-        else:
-            rays_p, z_p = rays, z_samp
-        rp = r + pad_r
-        _, dp, hp, wp, c8 = voxel_feat.shape
-        dims = (dp - 1, hp - 1, wp - 1)
-        auxT, w8T, flatT = ray_expand(rays_p, z_p, dims, c.coord_bounds,
-                                      c.num_freqs, c.freq_factor, bn=bn)
-        n = k * rp
-        rows = jnp.take_along_axis(
-            voxel_feat.reshape(1, dp * hp * wp, c8),
-            flatT.reshape(-1)[None, :, None], axis=1,
-            mode="promise_in_bounds")[0]
-        latent = corner_lerp(rows, w8T.reshape(8, n))      # (N, d_latent)
-        aux_rows = auxT.reshape(auxT.shape[0], n).T        # (N, 24)
-        width = c.d_latent + aux_rows.shape[1]
-        zi = jnp.concatenate(
-            [latent.astype(jnp.bfloat16), aux_rows,
-             jnp.zeros((n, 128 - width), jnp.bfloat16)], axis=-1)
         quantized = c.mlp_backend == "pallas_int8"
+        act_scales = None
+        if quantized and c.int8_static_act:
+            act_scales = getattr(self, "_int8_act_scales", None)
+            assert act_scales is not None, \
+                "field.int8_static_act=True: call calibrate_int8_act() " \
+                "once per scene before rendering"
         packed = pack_resnetfc_params(
             params["params"]["mlp_coarse"], d_latent=c.d_latent,
             num_freqs=c.num_freqs, d_hidden=c.d_hidden,
             n_blocks=c.n_blocks, combine_layer=c.combine_layer,
             quantize=quantized)
-        out, hidden = fused_resnetfc_int8(zi, packed, c.n_blocks,
-                                          c.combine_layer,
-                                          quantized=quantized)
+        if c.gather_fused_mlp:
+            auxT, w8T, flatT, r, rp, k = self._expand_rays_int8(
+                voxel_feat, rays, z_samp)
+            _, dp, hp, wp, c8 = voxel_feat.shape
+            out, hidden = fused_gather_resnetfc_int8(
+                voxel_feat.reshape(dp * hp * wp, c8),
+                flatT, w8T, auxT, packed, d_latent=c.d_latent,
+                num_freqs=c.num_freqs, n_blocks=c.n_blocks,
+                combine_layer=c.combine_layer, quantized=quantized,
+                act_scales=act_scales)
+        else:
+            zi, r, rp, k = self._assemble_zi_int8(voxel_feat, rays, z_samp)
+            out, hidden = fused_resnetfc_int8(zi, packed, c.n_blocks,
+                                              c.combine_layer,
+                                              quantized=quantized,
+                                              act_scales=act_scales)
         out = out.reshape(k, rp, 128)[:, :r]
         rgb = jax.nn.sigmoid(
             out[..., :3].astype(jnp.float32)).transpose(1, 0, 2)  # (R,K,3)

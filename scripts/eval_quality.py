@@ -127,8 +127,13 @@ def main():
 
     def variant(name, **kw):
         kw["use_ray_plan"] = kw.pop("cull", False)
+        if kw.pop("static_act", False):
+            kw["int8_static_act"] = True
+        if kw.pop("gather_fused", False):
+            kw["gather_fused_mlp"] = True
         field_kw = {k: v for k, v in kw.items()
-                    if k in ("compute_dtype", "mlp_backend")}
+                    if k in ("compute_dtype", "mlp_backend",
+                             "int8_static_act", "gather_fused_mlp")}
         rend_kw = {k: v for k, v in kw.items() if k not in field_kw}
         rcfg = dataclasses.replace(
             cfg.renderer, field=dataclasses.replace(base_field, **field_kw),
@@ -189,6 +194,21 @@ def main():
                 mlp_backend="pallas_int8", sampling_mode="occupancy",
                 occ_source="auto", n_coarse=12, n_fine=6, n_fine_depth=0,
                 cull=True),
+        # static int8 activation scales (field.int8_static_act): the gate
+        # row for bench.py's serving_cull16_static mode — calibrated once
+        # per scene below, saturating semantics vs dynamic quant
+        variant("occ_int8_cull16s", compute_dtype="bfloat16",
+                mlp_backend="pallas_int8", sampling_mode="occupancy",
+                occ_source="auto", n_coarse=16, n_fine=8, n_fine_depth=0,
+                cull=True, static_act=True),
+        # full serving stack: static scales + the gather-fused one-kernel
+        # path (exact vs unfused — test_gather_fused_mlp_matches_unfused —
+        # so this row should match occ_int8_cull16s bit-for-bit; kept as
+        # the direct gate for bench.py's cull16_static_gf mode)
+        variant("occ_int8_cull16sgf", compute_dtype="bfloat16",
+                mlp_backend="pallas_int8", sampling_mode="occupancy",
+                occ_source="auto", n_coarse=16, n_fine=8, n_fine_depth=0,
+                cull=True, static_act=True, gather_fused=True),
     ]
     if args.variants:
         keep = set(args.variants.split(","))
@@ -206,6 +226,14 @@ def main():
                    and rend.cfg.use_ray_plan)
         occ = rend.prepare({"params": state.params["nerf"]}, voxel_feat[:1],
                            occupancy=occ_channel)
+        if rend.cfg.field.int8_static_act:
+            from real_robot_nerf_actor_tpu.ops import gen_rays
+            cal_rays = gen_rays(pose, rend.cfg.image_width,
+                                rend.cfg.image_height, focal,
+                                rend.cfg.z_near,
+                                rend.cfg.z_far).reshape(-1, 8)
+            rend.calibrate_int8_act({"params": state.params["nerf"]},
+                                    voxel_feat[:1], cal_rays)
         plan = (rend.plan_rays(occ, pose, focal)
                 if do_cull and occ is not None else None)
         rgb, embed, depth = rend.render_image(

@@ -144,6 +144,102 @@ def test_fused_int8_mlp_backend_close_to_xla():
     assert np.abs(a - b).max() < 0.1, np.abs(a - b).max()
 
 
+def test_static_act_scales_close_to_dynamic():
+    """field.int8_static_act: calibrated static per-layer activation scales
+    render within tolerance of BOTH dynamic-quant int8 and the xla f32
+    path; rendering without calibration fails fast."""
+    import dataclasses
+    from real_robot_nerf_actor_tpu.ops import gen_rays
+
+    field = NerfFieldConfig(d_latent=8, d_embed=16, d_hidden=32, n_blocks=3,
+                            combine_layer=2, mlp_backend="pallas_int8")
+    cfg = RendererConfig(image_width=8, image_height=8, n_coarse=6, n_fine=4,
+                         n_fine_depth=2, field=field)
+    r_dyn = NeuralRenderer(cfg)
+    params = r_dyn.init_params(jax.random.key(0))
+    params["params"]["mlp_coarse"]["lin_out_bias"] = (
+        params["params"]["mlp_coarse"]["lin_out_bias"].at[3].set(1.0))
+    vox = jax.random.normal(jax.random.key(1), (1, 6, 6, 6, 8))
+    pose = np.eye(4, dtype=np.float32); pose[2, 3] = 2.5
+    rays = gen_rays(jnp.asarray(pose)[None], 8, 8, jnp.asarray(7.0),
+                    cfg.z_near, cfg.z_far).reshape(-1, 8)
+
+    r_sta = NeuralRenderer(dataclasses.replace(
+        cfg, field=dataclasses.replace(field, int8_static_act=True)))
+    with pytest.raises(AssertionError, match="calibrate_int8_act"):
+        r_sta.render_rays(params, vox, rays, jax.random.key(2))
+    scales = r_sta.calibrate_int8_act(params, vox, rays,
+                                      key=jax.random.key(5))
+    assert len(scales) == 2 * field.n_blocks
+    assert all(s > 0 for s in scales)
+
+    out_dyn = r_dyn.render_rays(params, vox, rays, jax.random.key(2))
+    out_sta = r_sta.render_rays(params, vox, rays, jax.random.key(2))
+    d = np.asarray(out_dyn["fine"].rgb, np.float32)
+    s = np.asarray(out_sta["fine"].rgb, np.float32)
+    assert np.isfinite(s).all()
+    # static scales change which int8 code each activation rounds to; the
+    # two int8 variants agree to quantization tolerance, and static stays
+    # within the same band of the f32 reference the dynamic test allows
+    assert np.abs(d - s).max() < 0.1, np.abs(d - s).max()
+
+    r_xla = NeuralRenderer(dataclasses.replace(
+        cfg, field=dataclasses.replace(field, mlp_backend="xla")))
+    x = np.asarray(r_xla.render_rays(params, vox, rays,
+                                     jax.random.key(2))["fine"].rgb,
+                   np.float32)
+    assert np.abs(x - s).max() < 0.1, np.abs(x - s).max()
+
+
+def test_gather_fused_mlp_matches_unfused():
+    """field.gather_fused_mlp: the one-kernel gather+lerp+MLP serving path
+    is EXACT vs the unfused chain (gather -> corner_lerp ->
+    fused_resnetfc_int8) — same config, same keys, identical renders —
+    including composed with static activation scales."""
+    import dataclasses
+    from real_robot_nerf_actor_tpu.ops import gen_rays
+
+    field = NerfFieldConfig(d_latent=8, d_embed=16, d_hidden=32, n_blocks=3,
+                            combine_layer=2, mlp_backend="pallas_int8")
+    cfg = RendererConfig(image_width=8, image_height=8, n_coarse=6, n_fine=4,
+                         n_fine_depth=2, field=field)
+    r_ref = NeuralRenderer(cfg)
+    params = r_ref.init_params(jax.random.key(0))
+    params["params"]["mlp_coarse"]["lin_out_bias"] = (
+        params["params"]["mlp_coarse"]["lin_out_bias"].at[3].set(1.0))
+    vox = jax.random.normal(jax.random.key(1), (1, 6, 6, 6, 8))
+    pose = np.eye(4, dtype=np.float32); pose[2, 3] = 2.5
+    rays = gen_rays(jnp.asarray(pose)[None], 8, 8, jnp.asarray(7.0),
+                    cfg.z_near, cfg.z_far).reshape(-1, 8)
+
+    out_ref = r_ref.render_rays(params, vox, rays, jax.random.key(2))
+    r_gf = NeuralRenderer(dataclasses.replace(
+        cfg, field=dataclasses.replace(field, gather_fused_mlp=True)))
+    out_gf = r_gf.render_rays(params, vox, rays, jax.random.key(2))
+    for pass_ in ("coarse", "fine"):
+        a = np.asarray(out_ref[pass_].rgb, np.float32)
+        b = np.asarray(out_gf[pass_].rgb, np.float32)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=0,
+                                   err_msg=pass_)
+
+    # composed with static activation scales: both paths calibrated the
+    # same way must also agree exactly
+    f_sta = dataclasses.replace(field, int8_static_act=True)
+    r_sta = NeuralRenderer(dataclasses.replace(cfg, field=f_sta))
+    r_sta_gf = NeuralRenderer(dataclasses.replace(
+        cfg, field=dataclasses.replace(f_sta, gather_fused_mlp=True)))
+    for r_ in (r_sta, r_sta_gf):
+        r_.calibrate_int8_act(params, vox, rays, key=jax.random.key(5))
+    a = np.asarray(r_sta.render_rays(params, vox, rays,
+                                     jax.random.key(2))["fine"].rgb,
+                   np.float32)
+    b = np.asarray(r_sta_gf.render_rays(params, vox, rays,
+                                        jax.random.key(2))["fine"].rgb,
+                   np.float32)
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
 def test_fused_bf16_mlp_backend_close_to_xla():
     """mlp_backend='pallas_bf16' (interpret off-TPU): same params, same
     render to bf16/f32-accumulation tolerance (no quantization)."""
