@@ -202,16 +202,20 @@ class NerfActTrainer(PerActTrainer):
                                    sample_mode=sample_mode)
 
     def multi_replay_data(self, entries, batch_size: int = 1, seed: int = 0,
+                          with_views: bool = True,
                           sample_mode: str = "uniform"):
         """Joint-training batches across kitchens x tasks (the reference's
         namesake loop, train_nerfact_multi_kitchen.py:1256-1284): each
         sample carries its task's CLIP lang tokens and its kitchen's GT
         view/pose/focal. Validates every recording against the renderer
-        config (see replay_data)."""
+        config (see replay_data). The joint trainer's own callers always
+        pass with_views=True; the flag is honored (not forced) so the
+        base class's no-views replay_data path still works when invoked
+        unbound on a NerfActTrainer."""
         from real_robot_nerf_actor_tpu.data.replay import ReplaySource
 
         rc = self.jcfg.renderer
-        for e in entries:
+        for e in entries if with_views else ():
             src = ReplaySource(e["root"], e["n_demos"])
             if not src.has_views:
                 raise ValueError(f"{e['root']} carries no GT views")
@@ -226,7 +230,7 @@ class NerfActTrainer(PerActTrainer):
                     f"{e['root']} teacher embeds have "
                     f"d={v0['embed'].shape[-1]} != {rc.field.d_embed}")
         return super().multi_replay_data(entries, batch_size, seed,
-                                         with_views=True,
+                                         with_views=with_views,
                                          sample_mode=sample_mode)
 
     # ---------------------------------------------------------------- eval

@@ -50,6 +50,14 @@ def main():
                     help="SE(3)-perturbed decodes per transition (0=off): "
                          "robustness of BC decode off the exact training "
                          "clouds")
+    ap.add_argument("--lang-npz", default=None,
+                    help="lang_embs.npz from a multikitchen dataset: decode "
+                         "with this task's CLIP lang tokens instead of "
+                         "zeros (required for a language-conditioned "
+                         "multitask checkpoint; pair --data-root with the "
+                         "matching k{i}_t{j} subdir)")
+    ap.add_argument("--task-index", type=int, default=0,
+                    help="row of --lang-npz embs to condition on")
     ap.add_argument("--out", default=None)
     ap.add_argument("--panels-dir", default=None,
                     help="save per-backend render panels here")
@@ -84,6 +92,14 @@ def main():
 
     src = ReplaySource(args.data_root, args.n_demos)
     c = cfg.peract
+    if args.lang_npz:
+        lang_row = np.load(args.lang_npz)["embs"][args.task_index]
+        lang_embs = jnp.asarray(lang_row, jnp.float32)[None]
+        print(f"[quality] lang: {args.lang_npz}[{args.task_index}] "
+              f"{lang_embs.shape}")
+    else:
+        lang_embs = jnp.zeros(
+            (1, c.model.lang_max_seq_len, c.model.lang_emb_dim))
 
     # ---------------------------------------------------------- voxel feat
     def features_for(d, k):
@@ -92,7 +108,7 @@ def main():
         vox = voxelize(jnp.asarray(pts)[None], jnp.asarray(cols)[None],
                        tr.bounds, c.voxelizer,
                        valid=jnp.asarray(valid)[None])
-        lang = jnp.zeros((1, c.model.lang_max_seq_len, c.model.lang_emb_dim))
+        lang = lang_embs
         # condition exactly like the replay_data train step (peract.py
         # proprio = [current-keyframe voxel index, discretized rot_grip]):
         # a zero proprio is a latent grid the checkpoint never saw
@@ -367,8 +383,7 @@ def main():
                 proprio_p = jnp.concatenate(
                     [aug.action_trans[0:1].astype(jnp.float32),
                      dd.rot_grip.astype(jnp.float32)], axis=-1)
-                lang = jnp.zeros((1, c.model.lang_max_seq_len,
-                                  c.model.lang_emb_dim))
+                lang = lang_embs
                 o_p, _ = tr._forward(state.params["policy"], state.extra,
                                      vox_p, proprio_p, lang, train=False)
                 coords_p, rot_grip_p, _ = choose_highest_action(
