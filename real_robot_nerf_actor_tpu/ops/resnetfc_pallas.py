@@ -300,6 +300,11 @@ def fused_resnetfc_int8(zi: jnp.ndarray, packed: dict, n_blocks: int = 5,
 # ---------------------------------------------------------------------------
 
 
+# SMEM index-operand block width: XLA's 1-D s32 layout tiling (Mosaic
+# verifies kernel operand layouts against XLA's choice).
+_IDXB = 1024
+
+
 def slice_gather_weights(packed: dict, d_latent: int = 64,
                          num_freqs: int = 6) -> dict:
     """Trace-time views of pack_resnetfc_params output for the gather-fused
@@ -329,37 +334,67 @@ def _gather_kernel(vox_ref, idx_cur_ref, idx_next_ref, w8_ref, aux_ref,
     slot = jax.lax.rem(i, 2)
     nslot = jax.lax.rem(i + 1, 2)
 
-    def issue(idx_ref, s):
+    # The corner-expanded grid arrives as (cells, nw, 128) — each logical
+    # row pre-split into nw full 128-lane planes — because Mosaic rejects
+    # single-sublane dynamic slices of a tiled VMEM buffer ("slice shape
+    # along dimension 0 must be aligned to tiling (8)"). Indexing ONLY the
+    # untiled leading dims (cell id on the source, [slot, j] on the
+    # destination) makes every per-row DMA a full-tile-plane copy, which
+    # is the alignment-free pattern.
+    #
+    # The SMEM index blocks are _IDXB (1024) wide regardless of bn: XLA
+    # lays 1-D s32 operands out at tiling T(1024) and Mosaic verifies the
+    # block layout against it, so a bn-wide block would be rejected. One
+    # 1024-block serves 1024//bn row-blocks; `off` selects this block's
+    # rows within it.
+    off_cur = jax.lax.rem(i * bn, _IDXB)
+    off_next = jax.lax.rem((i + 1) * bn, _IDXB)
+
+    def issue(idx_ref, off, s):
         def body(j, _):
             pltpu.make_async_copy(
-                vox_ref.at[pl.ds(idx_ref[j], 1), :],
-                rows_buf.at[s, pl.ds(j, 1), :],
+                vox_ref.at[idx_ref[off + j]],
+                rows_buf.at[s, j],
                 sem.at[s]).start()
             return _
         jax.lax.fori_loop(0, bn, body, None)
 
     @pl.when(i == 0)
     def _():
-        issue(idx_cur_ref, slot)          # prologue: block 0's own rows
+        issue(idx_cur_ref, off_cur, slot)      # prologue: block 0's rows
 
     @pl.when(i + 1 < n_i)
     def _():
-        issue(idx_next_ref, nslot)        # overlap: next block's rows
+        issue(idx_next_ref, off_next, nslot)   # overlap: next block's rows
 
     def wait(j, _):
         pltpu.make_async_copy(
-            vox_ref.at[pl.ds(idx_cur_ref[j], 1), :],
-            rows_buf.at[slot, pl.ds(j, 1), :],
+            vox_ref.at[idx_cur_ref[off_cur + j]],
+            rows_buf.at[slot, j],
             sem.at[slot]).wait()
         return _
     jax.lax.fori_loop(0, bn, wait, None)
 
-    rows = rows_buf[slot]                                  # (BN, 8*dl) bf16
+    rows3 = rows_buf[slot]                           # (BN, nw, lanes) bf16
     wt = w8_ref[...].T                                     # (BN, 8) f32
-    lat = rows[:, :d_latent].astype(jnp.float32) * wt[:, 0:1]
+    lanes = rows3.shape[2]
+
+    def corner(c):
+        """(BN, d_latent) slab of corner c — static plane/lane slices only
+        (the plane split never crosses a corner: the caller guarantees
+        d_latent divides the lane width or is a multiple of it)."""
+        start = c * d_latent
+        if d_latent % lanes == 0:                    # corner spans planes
+            p0 = start // lanes
+            parts = [rows3[:, p0 + t] for t in range(d_latent // lanes)]
+            return parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=1)
+        p, o = divmod(start, lanes)                  # corner within plane
+        return rows3[:, p, o:o + d_latent]
+
+    lat = corner(0).astype(jnp.float32) * wt[:, 0:1]
     for c in range(1, 8):
-        lat += rows[:, c * d_latent:(c + 1) * d_latent].astype(
-            jnp.float32) * wt[:, c:c + 1]
+        lat += corner(c).astype(jnp.float32) * wt[:, c:c + 1]
     lat = lat.astype(jnp.bfloat16)                         # (BN, d_latent)
 
     def int8_dense(t, idx):
@@ -410,9 +445,11 @@ def fused_gather_resnetfc_int8(vox_rows: jnp.ndarray, flat: jnp.ndarray,
                                w8: jnp.ndarray, aux: jnp.ndarray,
                                packed: dict, d_latent: int = 64,
                                num_freqs: int = 6, n_blocks: int = 5,
-                               combine_layer: int = 3, bn: int = 512,
+                               combine_layer: int = 3, bn: int = 256,
                                quantized: bool = True, act_scales=None):
-    """Gather-fused serving forward.
+    """Gather-fused serving forward. bn (rows per grid block) is capped
+    by the ~16 MB scoped-VMEM stack: 512 rows of f32 activations through
+    the 5-block MLP measured 32.4 MB at bn=1024, so 256 keeps a 2x margin.
 
     vox_rows: (cells, 8*d_latent) bf16/f32 — the corner-expanded voxel
       grid flattened to rows (stays in HBM; the kernel DMA-gathers per
@@ -424,9 +461,29 @@ def fused_gather_resnetfc_int8(vox_rows: jnp.ndarray, flat: jnp.ndarray,
     Returns (out (N, 128) bf16, hidden (N, d_hidden) bf16), rows in the
     same (K-major) sample order as the inputs."""
     assert vox_rows.dtype in (jnp.bfloat16, jnp.float32), vox_rows.dtype
-    assert vox_rows.shape[1] == 8 * d_latent, vox_rows.shape
+    width = 8 * d_latent
+    assert vox_rows.shape[1] == width, vox_rows.shape
+    tpu = jax.default_backend() == "tpu"
+    if tpu and (width % 128 or not (d_latent % 128 == 0
+                                    or 128 % d_latent == 0)):
+        # Mosaic requires full-tile-plane DMAs: rows are split into
+        # 128-lane planes, and each corner's d_latent slab must land on
+        # static plane/lane boundaries. Production d_latent=64 (rows
+        # 512-wide) is fine; reject odd widths instead of failing deep
+        # inside the remote compile service.
+        raise ValueError(
+            f"gather_fused_mlp needs 8*d_latent ({width}) to be a "
+            f"multiple of 128 and d_latent to divide (or be a multiple "
+            f"of) 128 on TPU; use the unfused serving path for "
+            f"d_latent={d_latent}")
+    # split each row into full 128-lane planes (tile-aligned per-row DMAs);
+    # interpret mode (CPU tests) may use narrower rows — keep them as one
+    # plane, which the kernel's corner() slices identically.
+    lanes = 128 if width % 128 == 0 else width
+    vox3 = vox_rows.reshape(vox_rows.shape[0], width // lanes, lanes)
+    assert _IDXB % bn == 0, (bn, _IDXB)
     n = flat.shape[0]
-    pad = (-n) % bn
+    pad = (-n) % _IDXB      # pad to whole SMEM index blocks (>= bn blocks)
     if pad:
         flat = jnp.pad(flat, (0, pad))          # 0 is a valid (masked) row
         w8 = jnp.pad(w8, ((0, 0), (0, pad)))
@@ -454,10 +511,16 @@ def fused_gather_resnetfc_int8(vox_rows: jnp.ndarray, flat: jnp.ndarray,
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),              # vox_rows
-            pl.BlockSpec((bn,), lambda i: (i,),
+            # XLA lays 1-D s32 operands out at tiling T(1024); Mosaic
+            # verifies the SMEM block layout against it, so the index
+            # block must be _IDXB=1024 wide regardless of bn (Mosaic:
+            # "Try changing your kernel block shape to (1024)"); a block
+            # serves _IDXB//bn consecutive row-blocks (in-kernel offset).
+            pl.BlockSpec((_IDXB,), lambda i, _b=bn: (i * _b // _IDXB,),
                          memory_space=pltpu.SMEM),             # idx cur
-            pl.BlockSpec((bn,), lambda i, _n=nblk: (jnp.minimum(i + 1,
-                                                                _n - 1),),
+            pl.BlockSpec((_IDXB,),
+                         lambda i, _b=bn, _np=npad: (
+                             jnp.minimum((i + 1) * _b, _np - 1) // _IDXB,),
                          memory_space=pltpu.SMEM),             # idx next
             pl.BlockSpec((8, bn), lambda i: (0, i),
                          memory_space=pltpu.VMEM),             # w8
@@ -475,12 +538,12 @@ def fused_gather_resnetfc_int8(vox_rows: jnp.ndarray, flat: jnp.ndarray,
             jax.ShapeDtypeStruct((npad, 128), jnp.bfloat16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, bn, 8 * d_latent), vox_rows.dtype),
+            pltpu.VMEM((2, bn, width // lanes, lanes), vox_rows.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-        interpret=jax.default_backend() != "tpu",
-    )(vox_rows, flat, flat, w8.astype(jnp.float32),
+        interpret=not tpu,
+    )(vox3, flat, flat, w8.astype(jnp.float32),
       aux.astype(jnp.bfloat16), *wargs)
     return out[:n], hidden[:n]

@@ -357,7 +357,14 @@ class NeuralRenderer:
             num_freqs=c.num_freqs, d_hidden=c.d_hidden,
             n_blocks=c.n_blocks, combine_layer=c.combine_layer,
             quantize=quantized)
-        if c.gather_fused_mlp:
+        # the gather-fused kernel's per-row DMA needs a 128-lane-aligned
+        # corner-row width on real TPU (see fused_gather_resnetfc_int8);
+        # fall back to the unfused chain for narrow fields (tests/small
+        # configs) rather than fail the compile.
+        fused_ok = ((8 * c.d_latent) % 128 == 0
+                    and (c.d_latent % 128 == 0 or 128 % c.d_latent == 0)) \
+            or jax.default_backend() != "tpu"
+        if c.gather_fused_mlp and fused_ok:
             auxT, w8T, flatT, r, rp, k = self._expand_rays_int8(
                 voxel_feat, rays, z_samp)
             _, dp, hp, wp, c8 = voxel_feat.shape

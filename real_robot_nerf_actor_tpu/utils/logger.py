@@ -1,10 +1,12 @@
-"""Unified logger: console + JSONL metrics + optional TensorBoard.
+"""Unified logger: console + JSONL metrics + optional TensorBoard/wandb.
 
 Replaces the reference's three logging paths (wandb, tensorboard
-SummaryWriter, colored console prints — /root/reference/featurenerf_robo/src/logger.py:134-235)
-with one class. The JSONL file is the machine-readable record (wandb-style
-events without the service dependency); TensorBoard is attached when the
-package is importable and a log dir is given.
+SummaryWriter, colored console prints — /root/reference/featurenerf_robo/src/logger.py:134-235
+and the wandb trainer variant trainer_wandb.py:157-220) with one class.
+The JSONL file is the always-on machine-readable record (wandb-style
+events without the service dependency); TensorBoard and wandb are
+attached only when their packages are importable and requested — both
+sinks receive the same scalar stream and image panels.
 """
 from __future__ import annotations
 
@@ -34,12 +36,15 @@ class AverageMeter:
 
 class Logger:
     def __init__(self, log_dir: Optional[str] = None, use_tensorboard: bool = False,
-                 print_every: int = 50):
+                 print_every: int = 50, use_wandb: bool = False,
+                 wandb_project: Optional[str] = None,
+                 wandb_config: Optional[dict] = None):
         self.log_dir = log_dir
         self.print_every = print_every
         self._meters: Dict[str, AverageMeter] = defaultdict(AverageMeter)
         self._jsonl = None
         self._tb = None
+        self._wandb = None
         self._t0 = time.time()
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
@@ -50,6 +55,17 @@ class Logger:
                     self._tb = SummaryWriter(log_dir)
                 except Exception:
                     self._tb = None
+        if use_wandb:
+            # the reference's TrainerWandb path (trainer_wandb.py): same
+            # scalars + panels, mirrored to a wandb run when the package
+            # exists; silently absent otherwise (this sandbox has none).
+            try:
+                import wandb
+                self._wandb = wandb.init(
+                    project=wandb_project or "real-robot-nerf-actor-tpu",
+                    dir=log_dir or ".", config=wandb_config or {})
+            except Exception:
+                self._wandb = None
 
     def log(self, metrics: Dict[str, float], step: int, category: str = "train"):
         rec = {"step": step, "category": category, "time": time.time() - self._t0}
@@ -62,6 +78,9 @@ class Logger:
         if self._jsonl is not None:
             self._jsonl.write(json.dumps(rec) + "\n")
             self._jsonl.flush()
+        if self._wandb is not None:
+            self._wandb.log({f"{category}/{k}": float(v)
+                             for k, v in metrics.items()}, step=step)
         if step % self.print_every == 0:
             msg = " | ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
             print(f"[{category}] step {step} | {msg} | "
@@ -91,6 +110,10 @@ class Logger:
         if self._tb is not None:
             self._tb.add_image(f"{category}/{name}", panel, step,
                                dataformats="HWC")
+        if self._wandb is not None:
+            import wandb
+            self._wandb.log({f"{category}/{name}": wandb.Image(panel)},
+                            step=step)
         if self.log_dir:
             d = os.path.join(self.log_dir, "panels")
             os.makedirs(d, exist_ok=True)
@@ -104,6 +127,8 @@ class Logger:
             self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 def _write_png(path: str, rgb) -> None:

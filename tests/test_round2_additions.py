@@ -115,3 +115,47 @@ def test_logger_image_panel(tmp_path):
     with open(path, "rb") as f:
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
     lg.close()
+
+
+def test_logger_wandb_sink(tmp_path):
+    """use_wandb mirrors scalars + image panels to a wandb run when the
+    package imports (reference trainer_wandb.py:157-220); here wandb is an
+    injected fake recording the calls — and its absence must be silent."""
+    import sys
+    import types
+    from real_robot_nerf_actor_tpu.utils.logger import Logger
+
+    calls = []
+
+    class _Run:
+        def log(self, d, step=None):
+            calls.append((dict(d), step))
+
+        def finish(self):
+            calls.append(("finish", None))
+
+    wandb = types.ModuleType("wandb")
+    wandb.init = lambda **kw: _Run()
+    wandb.Image = lambda arr: ("image", np.shape(arr))
+    sys.modules["wandb"] = wandb
+    try:
+        lg = Logger(log_dir=str(tmp_path), use_wandb=True)
+        lg.log({"loss": 1.5, "psnr": 20.0}, step=10)
+        rgb = np.random.default_rng(0).uniform(0, 1, (8, 10, 3))
+        lg.log_image_panel("vis", [rgb], step=10)
+        lg.close()
+    finally:
+        del sys.modules["wandb"]
+    scal = [c for c in calls if isinstance(c[0], dict)
+            and "train/loss" in c[0]]
+    assert scal and scal[0][0]["train/loss"] == 1.5 and scal[0][1] == 10
+    imgs = [c for c in calls if isinstance(c[0], dict)
+            and "train/vis" in c[0]]
+    assert imgs and imgs[0][0]["train/vis"][0] == "image"
+    assert ("finish", None) in calls
+
+    # absent package: constructor must not raise, sink stays off
+    lg = Logger(log_dir=str(tmp_path), use_wandb=True)
+    assert lg._wandb is None
+    lg.log({"loss": 1.0}, step=1)
+    lg.close()
