@@ -163,11 +163,19 @@ def make_task_demo(scene: SyntheticScene, task: int, seed: int = 0,
         grip = np.array([1, 1, 1, 0, 0], np.float32)
     elif task == 2:
         box = scene.box_centers[2]
+        # lift clears to +0.25 (NOT the approach's +0.15): with a static
+        # scene and grip 0 at both, an equal-height approach/lift pair
+        # makes the k1->press and k3->home transitions state-aliased —
+        # identical inputs, 50-voxel-apart targets. The round-5 multitask
+        # forensics (scripts/analyze_bc.py --multi-root) showed the policy
+        # resolving that ambiguity by always predicting home (~52-voxel
+        # misses on every t2 k1). 10 cm of height = 4 voxel bins of
+        # proprio + a visibly different gripper blob in the cloud.
         waypoints = np.stack([
             home,
             box + np.array([0, 0, 0.15], np.float32) + jit(),
             box + np.array([0, 0, 0.05], np.float32) + jit(),
-            box + np.array([0, 0, 0.15], np.float32) + jit(),
+            box + np.array([0, 0, 0.25], np.float32) + jit(),
             home + np.array([0.05, 0.0, 0.0], np.float32),
         ]).astype(np.float32)
         grip = np.array([1, 0, 0, 0, 1], np.float32)

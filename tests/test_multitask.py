@@ -69,6 +69,35 @@ def test_kitchens_differ(multiroot):
     assert np.abs(a.gt_pose - b.gt_pose).max() > 0.01
 
 
+def test_no_state_aliased_transitions(multiroot):
+    """No two transitions of one demo may share (near-identical position,
+    same grip) inputs while pointing at far-apart targets: with a static
+    scene that pair is undecidable from the observation, and the policy
+    resolves it by always predicting one of the two targets. Round-5
+    forensics caught exactly this in the press task (approach at box+0.15
+    and post-press lift at box+0.15, both grip 0 -> the press keyframe
+    decoded as 'home', a ~52-voxel miss on every demo; fixed by lifting
+    to +0.25)."""
+    for sub in ("k0_t0", "k0_t1", "k0_t2"):
+        src = ReplaySource(os.path.join(multiroot, sub), 2)
+        for d in range(2):
+            demo = src.demos[d]
+            nk = demo.num_keyframes
+            for i in range(nk - 1):
+                for j in range(i + 1, nk - 1):
+                    same_in = (np.linalg.norm(demo.xyz[i] - demo.xyz[j])
+                               < 0.05 and demo.gripper_open[i]
+                               == demo.gripper_open[j])
+                    far_out = np.linalg.norm(
+                        demo.xyz[i + 1] - demo.xyz[j + 1]) > 0.10
+                    assert not (same_in and far_out), (
+                        f"{sub} d{d}: transitions k{i} and k{j} are "
+                        f"state-aliased (inputs {demo.xyz[i]} ~ "
+                        f"{demo.xyz[j]}, targets "
+                        f"{np.linalg.norm(demo.xyz[i+1] - demo.xyz[j+1]):.2f}"
+                        " m apart)")
+
+
 def _tiny_entries(multiroot, exclude=()):
     entries = load_multitask_entries(multiroot, exclude_demos=exclude)
     rng = np.random.default_rng(0)
