@@ -24,6 +24,12 @@ CPU_ENV=(env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu)
 #    + manifest + per-task CLIP lang embeddings).
 [ -d datasets/multikitchen_r5 ] || "${CPU_ENV[@]}" python scripts/gen_data.py \
     multikitchen --out datasets/multikitchen_r5 --kitchens 2 --tasks 3 --n 5
+#    r5b: same seeds, press-task state-aliasing fix (synthetic.py lift
+#    +0.25) — the fine-tune flagship trains on this one. NOTE: r5 above
+#    regenerated from the fixed code will carry the fixed t2 too; r5's
+#    committed logs predate the fix (t0/t1 are bit-identical either way).
+[ -d datasets/multikitchen_r5b ] || "${CPU_ENV[@]}" python scripts/gen_data.py \
+    multikitchen --out datasets/multikitchen_r5b --kitchens 2 --tasks 3 --n 5
 
 # 3. Orbit NeRF scenes with depth (FeatureNeRF pretraining + teacher):
 #    10 scenes x 12 views raytraced RGB-D of the lift scene.

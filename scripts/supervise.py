@@ -26,6 +26,40 @@ import sys
 import time
 
 
+def _live_writer(cmd):
+    """Pid of another live process already writing the same run, else None.
+
+    Two trainers saving into one --ckpt-dir interleave checkpoint steps
+    and silently corrupt the resume lineage, so startup refuses when any
+    other process's cmdline carries the same --ckpt-dir (or --log) value.
+    Detection only — never kills anything.
+    """
+    marks = set()
+    for flag in ("--ckpt-dir", "--log"):
+        if flag in cmd:
+            i = cmd.index(flag)
+            if i + 1 < len(cmd):
+                marks.add((flag, os.path.abspath(cmd[i + 1])))
+    if not marks:
+        return None
+    me = os.getpid()
+    for pid_dir in os.listdir("/proc"):
+        if not pid_dir.isdigit() or int(pid_dir) == me:
+            continue
+        try:
+            with open(f"/proc/{pid_dir}/cmdline", "rb") as f:
+                argv = f.read().decode(errors="replace").split("\0")
+        except OSError:
+            continue
+        for flag, val in marks:
+            if flag in argv:
+                j = argv.index(flag)
+                if (j + 1 < len(argv)
+                        and os.path.abspath(argv[j + 1]) == val):
+                    return int(pid_dir)
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", required=True, help="append child output here; "
@@ -41,10 +75,23 @@ def main():
     ap.add_argument("--poll-secs", type=float, default=30.0)
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- command to run")
+    ap.add_argument("--force", action="store_true",
+                    help="skip the live-writer guard")
     args = ap.parse_args()
     cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
     if not cmd:
         ap.error("no command given (use -- cmd ...)")
+
+    if not args.force:
+        clash = _live_writer(cmd)
+        if clash:
+            print(f"[supervise] REFUSING to start: pid {clash} already "
+                  "trains into the same --ckpt-dir/--log (two writers "
+                  "interleave checkpoints and clobber each other's "
+                  "lineage — observed round 5 after a session restart "
+                  "raced a live run). Kill it or pass --force.",
+                  file=sys.stderr)
+            return 2
 
     restarts = 0
     while True:

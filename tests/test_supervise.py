@@ -46,3 +46,33 @@ def test_supervise_passes_through_clean_exit(tmp_path):
         capture_output=True, text=True, timeout=60)
     assert p.returncode == 0
     assert "ok" in log.read_text()
+
+
+def test_supervise_refuses_second_writer(tmp_path):
+    """Two supervisors on one --ckpt-dir interleave checkpoint lineages
+    (observed round 5: a restarted session's run raced the live one and
+    its resume collapsed) — startup must refuse while another process
+    carries the same --ckpt-dir, and --force must override."""
+    log = tmp_path / "run.log"
+    ckpt = str(tmp_path / "ckpt")
+    holder = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(120)",
+         "--ckpt-dir", ckpt])
+    try:
+        time.sleep(0.5)
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "supervise.py"),
+             "--log", str(log), "--stale-secs", "30", "--",
+             sys.executable, "-c", "print('ok')", "--ckpt-dir", ckpt],
+            capture_output=True, text=True, timeout=60)
+        assert p.returncode == 2, p.stdout + p.stderr
+        assert "REFUSING" in p.stderr
+        forced = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "supervise.py"),
+             "--force", "--log", str(log), "--stale-secs", "30", "--",
+             sys.executable, "-c", "print('ok')", "--ckpt-dir", ckpt],
+            capture_output=True, text=True, timeout=60)
+        assert forced.returncode == 0, forced.stdout + forced.stderr
+    finally:
+        holder.kill()
+        holder.wait()
