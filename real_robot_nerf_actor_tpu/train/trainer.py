@@ -38,6 +38,14 @@ class OptimConfig:
     warmup_steps: int = 0
     decay_steps: int = 0         # cosine horizon (usually num_steps)
     min_lr_frac: float = 0.05    # final LR = min_lr_frac * lr
+    # drop (don't apply) any update whose gradients contain NaN/Inf, up to
+    # this many consecutive times; 0 disables. Global-norm clipping does
+    # NOT protect against a nonfinite gradient (an inf global norm scales
+    # the whole update to inf*0 = NaN): both round-5 multitask fine-tunes
+    # NaN'd the params this way at bs=1/accum=1 despite grad_clip=1.0
+    # (BENCH_NOTES round 5). Wrapped OUTERMOST so a bad microbatch never
+    # reaches the MultiSteps accumulator or the Adam moments.
+    skip_nonfinite: int = 100
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,6 +138,8 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     if cfg.accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    if cfg.skip_nonfinite > 0:
+        tx = optax.apply_if_finite(tx, cfg.skip_nonfinite)
     return tx
 
 

@@ -3,6 +3,7 @@ checkpoints must round-trip."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 import pytest
 
 from real_robot_nerf_actor_tpu.models import PerceiverConfig
@@ -164,6 +165,54 @@ def test_ckpt_params_only_restore_across_optimizers(tmp_path):
     # opt_state keeps the caller's (fresh) structure
     assert jax.tree_util.tree_structure(out.opt_state) == \
         jax.tree_util.tree_structure(like.opt_state)
+
+
+def test_nonfinite_gradients_are_skipped():
+    """A NaN/Inf gradient must not touch params or optimizer moments
+    (round-5 regression: both multitask fine-tunes NaN'd ALL params from
+    one nonfinite gradient — grad_clip=1.0 scales an inf global norm to
+    inf*0=NaN). The guard wraps OUTERMOST so a bad microbatch never
+    enters the MultiSteps accumulator either."""
+    import jax
+    import jax.numpy as jnp
+    from real_robot_nerf_actor_tpu.train.trainer import (
+        OptimConfig, make_optimizer)
+
+    params = {"w": jnp.arange(4.0)}
+    tx = make_optimizer(OptimConfig(lr=1e-2, grad_clip=1.0,
+                                    skip_nonfinite=10))
+    st = tx.init(params)
+    good = {"w": jnp.ones(4)}
+    bad_nan = {"w": jnp.array([1.0, jnp.nan, 1.0, 1.0])}
+    bad_inf = {"w": jnp.full(4, jnp.inf)}
+
+    for bad in (bad_nan, bad_inf):
+        upd, st_bad = tx.update(bad, st, params)
+        p_bad = optax.apply_updates(params, upd)
+        assert jnp.all(jnp.isfinite(p_bad["w"]))
+        assert jnp.allclose(p_bad["w"], params["w"])  # step skipped
+        # a finite step afterwards still applies normally
+        upd2, _ = tx.update(good, st_bad, params)
+        p2 = optax.apply_updates(params, upd2)
+        assert jnp.all(jnp.isfinite(p2["w"]))
+        assert not jnp.allclose(p2["w"], params["w"])
+
+    # accumulation: a NaN microbatch must not poison the accumulator
+    tx_acc = make_optimizer(OptimConfig(lr=1e-2, accum_steps=2,
+                                        skip_nonfinite=10))
+    st = tx_acc.init(params)
+    upd, st = tx_acc.update(bad_nan, st, params)   # dropped
+    upd, st = tx_acc.update(good, st, params)      # accum 1/2
+    upd, st = tx_acc.update(good, st, params)      # emits
+    p = optax.apply_updates(params, upd)
+    assert jnp.all(jnp.isfinite(p["w"]))
+    assert not jnp.allclose(p["w"], params["w"])
+
+    # skip_nonfinite=0 disables the wrapper (legacy opt_state structure)
+    tx_off = make_optimizer(OptimConfig(lr=1e-2, skip_nonfinite=0))
+    tx_on = make_optimizer(OptimConfig(lr=1e-2, skip_nonfinite=10))
+    assert jax.tree_util.tree_structure(tx_off.init(params)) != \
+        jax.tree_util.tree_structure(tx_on.init(params))
 
 
 def test_nerfact_respects_use_se3_aug_flag():
