@@ -309,6 +309,11 @@ class Trainer:
             state, metrics = self._step_fn(state, batch, step_rng)
             if (step + 1) % self.cfg.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
+                # surface the nonfinite-update guard's skip counter (optax
+                # ApplyIfFiniteState sits outermost when skip_nonfinite>0)
+                tn = getattr(state.opt_state, "total_notfinite", None)
+                if tn is not None:
+                    metrics["grad_skips"] = float(tn)
                 metrics["steps_per_sec"] = self.cfg.log_every / (
                     time.time() - t_last)
                 t_last = time.time()
