@@ -111,7 +111,7 @@ class NerfActTrainer(PerActTrainer):
                 q_trans_aux=out[4] if c.model.aux_trans_head else None,
                 patch_size=c.model.voxel_patch_size,
                 lambda_aux=c.lambda_aux_trans,
-                trans_smooth=c.trans_label_smooth)
+                trans_smooth=c.trans_label_smooth, z_loss=c.z_loss)
 
             # rendering loss on sample 0 (reference trains with bs=1)
             render_loss, rmetrics = self.renderer.rendering_loss(

@@ -76,6 +76,10 @@ class PerActConfig:
     # epsilon of spatial label smoothing on the trans target (0 = reference
     # one-hot CE; see bc_losses)
     trans_label_smooth: float = 0.0
+    # PaLM-style z-loss (log^2 Z) on the CE heads; bounds the logit scale
+    # whose unbounded growth overflowed the bs=1 fine-tune backward
+    # (round-5 forensics, see bc_losses docstring). 0 = off (reference CE).
+    z_loss: float = 0.0
     # SE(3)-aug clamp semantics (ops/se3_aug.py): True = symmetric clamp
     # window (zero-mean shift marginal for every keyframe; round-4 fix for
     # the boundary-keyframe decode bias), False = the reference's truncated
@@ -90,7 +94,7 @@ def bc_losses(q_trans: jnp.ndarray, q_rot_grip: jnp.ndarray,
               voxel_size: int, num_rotation_classes: int = 72,
               q_trans_aux: Optional[jnp.ndarray] = None,
               patch_size: int = 5, lambda_aux: float = 0.5,
-              trans_smooth: float = 0.0
+              trans_smooth: float = 0.0, z_loss: float = 0.0
               ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Cross-entropy on all heads against discrete expert actions.
 
@@ -105,6 +109,17 @@ def bc_losses(q_trans: jnp.ndarray, q_rot_grip: jnp.ndarray,
     trans target over a separable [0.25, 0.5, 0.25]^3 neighborhood
     (spatial label smoothing; GT that sits between demos stops whipsawing
     single voxels).
+
+    z_loss > 0 adds z_loss * mean(log^2 Z) over the trans + rot/grip
+    softmaxes (PaLM-style logit regularization). Round-5 forensics
+    (scripts/grad_forensics.py, BENCH_NOTES): at bs=1/accum=1 the trans
+    logits grew unbounded (max 3.4e4), and the backward's measured gain
+    through the decoder chain (x6.6e9 at unit cotangents; up0 alone
+    x2.4e3) then overflowed fp32 -> inf gradients, which global-norm
+    clipping turns into NaN params. Bounding log Z keeps the logit scale
+    (and with it the cotangent magnitudes) in range; the recommended
+    stabilizer for bs=1 fine-tune recipes. Off by default (the committed
+    flagship evidence trains without it).
     """
     b = q_trans.shape[0]
     r = num_rotation_classes
@@ -141,6 +156,15 @@ def bc_losses(q_trans: jnp.ndarray, q_rot_grip: jnp.ndarray,
         "loss_rot_grip": jnp.mean(rot_grip_loss),
         "loss_collision": jnp.mean(collision_loss),
     }
+    if z_loss > 0.0:
+        lse = jax.nn.logsumexp
+        z = (jnp.mean(lse(q_trans.reshape(b, -1), axis=-1) ** 2)
+             + jnp.mean(sum(
+                 lse(q_rot_grip[:, i * r:(i + 1) * r], axis=-1) ** 2
+                 for i in range(3))
+                 + lse(q_rot_grip[:, 3 * r:], axis=-1) ** 2))
+        total = total + z_loss * z
+        metrics["loss_z"] = z_loss * z
     if q_trans_aux is not None:
         s = voxel_size // patch_size
         ct = action.trans // patch_size
@@ -235,7 +259,7 @@ class PerActTrainer:
                 q_trans_aux=out[-1] if c.model.aux_trans_head else None,
                 patch_size=c.model.voxel_patch_size,
                 lambda_aux=c.lambda_aux_trans,
-                trans_smooth=c.trans_label_smooth)
+                trans_smooth=c.trans_label_smooth, z_loss=c.z_loss)
             return total, (metrics, new_extra)
 
         (loss, (metrics, new_extra)), grads = jax.value_and_grad(

@@ -175,6 +175,45 @@ def test_aux_head_and_label_smoothing():
         float(base) + 0.7 * float(metrics["loss_trans_aux"]), rel=1e-5)
 
 
+def test_z_loss_bounds_logit_scale():
+    """z_loss=0 matches plain CE exactly; z_loss>0 adds mean(log^2 Z) and
+    its gradient pushes the logit scale DOWN (round-5 forensics: unbounded
+    trans logits overflowed the bs=1 backward -> inf grads)."""
+    import jax
+    import jax.numpy as jnp
+    from real_robot_nerf_actor_tpu.ops.action_codec import DiscreteAction
+    from real_robot_nerf_actor_tpu.train.peract import bc_losses
+
+    rng = np.random.default_rng(1)
+    v, r = 10, 6
+    q_trans = jnp.asarray(rng.standard_normal((2, v, v, v)), jnp.float32)
+    q_rg = jnp.asarray(rng.standard_normal((2, 3 * r + 2)), jnp.float32)
+    q_c = jnp.asarray(rng.standard_normal((2, 2)), jnp.float32)
+    action = DiscreteAction(
+        trans=jnp.asarray([[0, 5, 9], [3, 3, 3]]),
+        rot_grip=jnp.asarray([[1, 2, 3, 1], [0, 0, 0, 0]]),
+        collision=jnp.asarray([[0], [1]]))
+    base, m0 = bc_losses(q_trans, q_rg, q_c, action, v, r)
+    z0, mz0 = bc_losses(q_trans, q_rg, q_c, action, v, r, z_loss=0.0)
+    assert float(base) == float(z0) and "loss_z" not in mz0
+    zt, mz = bc_losses(q_trans, q_rg, q_c, action, v, r, z_loss=1e-3)
+    assert "loss_z" in mz and float(mz["loss_z"]) > 0
+    assert float(zt) == pytest.approx(
+        float(base) + float(mz["loss_z"]), rel=1e-5)
+
+    # gradient direction: on uniformly SHIFTED logits (log Z = shift +
+    # const), the z-term's gradient wrt the shift is positive -> pushes
+    # the scale down; total loss grows with the shift under z_loss
+    def tot(shift, zl):
+        t, _ = bc_losses(q_trans + shift, q_rg + shift, q_c, action, v, r,
+                         z_loss=zl)
+        return t
+    g_plain = jax.grad(tot)(50.0, 0.0)
+    g_z = jax.grad(tot)(50.0, 1e-2)
+    assert abs(float(g_plain)) < 1e-4      # CE is shift-invariant
+    assert float(g_z) > 1.0                # z-loss is not: pulls scale down
+
+
 def test_aux_head_model_output():
     import jax
     import jax.numpy as jnp
