@@ -136,43 +136,65 @@ class ShuffleTransposeConv3D(nn.Module):
 
 
 class ZDecomposedConv3D(nn.Module):
-    """k3/s1 3-D conv as three 2-D convs over (H, W) slabs plus z-shifted
-    adds: out[z] = sum_dz conv2d(x[z+dz-1], K[dz]). Exact; param-tree
-    compatible with nn.Conv ("kernel" (3,3,3,Cin,Cout), "bias" (Cout,)).
+    """k3/s1 3-D conv as 2-D convs over (H, W) slabs plus z-shifted adds:
+    out[z] = sum_dz conv2d(x[z+dz-1], K[dz]). Exact; param-tree compatible
+    with nn.Conv ("kernel" (3,3,3,Cin,Cout), "bias" (Cout,)).
 
     Rationale: XLA TPU assigns 3-D convs at 100^3 split-spatial layouts and
     pays ~1 ms whole-tensor copies at every junction (BENCH_NOTES round 2);
     2-D convs with the depth axis folded into the batch keep the canonical
-    image layout. Supports 'zeros' and 'replicate' padding."""
+    image layout. Supports 'zeros' and 'replicate' padding.
+
+    packed=True issues ONE conv with the three z-taps concatenated on the
+    output-channel axis (Cout -> 3*Cout) instead of three Cout-wide convs:
+    the policy's 128->64 final conv runs at N=64 = half the MXU's 128
+    lanes, so tap-packing doubles MXU occupancy and reads the padded input
+    once instead of three times. Same per-tap conv results, same tap add
+    order (0+1+2) — numerically identical up to XLA scheduling."""
 
     features: int
     kernel_init: Any
     padding: str = "zeros"
     dtype: Any = jnp.float32
+    packed: bool = False
+    kernel_size: int = 3
 
     @nn.compact
     def __call__(self, x):
         b, d, h, w, cin = x.shape
-        co = self.features
-        kernel = self.param("kernel", self.kernel_init, (3, 3, 3, cin, co))
+        co, k = self.features, self.kernel_size
+        assert k % 2 == 1, "z-decomposition needs an odd kernel"
+        pz = k // 2
+        kernel = self.param("kernel", self.kernel_init, (k, k, k, cin, co))
         bias = self.param("bias", nn.initializers.zeros, (co,))
         dt = self.dtype
         mode = "edge" if self.padding == "replicate" else "constant"
         # pad z (+h,w for replicate, which conv2d SAME can't express)
         if self.padding == "replicate":
-            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)),
+            xp = jnp.pad(x, ((0, 0), (pz, pz), (pz, pz), (pz, pz), (0, 0)),
                          mode=mode)
             conv_pad = "VALID"
         else:
-            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+            xp = jnp.pad(x, ((0, 0), (pz, pz), (0, 0), (0, 0), (0, 0)))
             conv_pad = "SAME"
-        xp = xp.reshape((b * (d + 2),) + xp.shape[2:]).astype(dt)
+        xp = xp.reshape((b * (d + 2 * pz),) + xp.shape[2:]).astype(dt)
+        if self.packed:
+            kp = jnp.concatenate([kernel[dz] for dz in range(k)],
+                                 axis=-1).astype(dt)        # (k,k,cin,k*co)
+            y = jax.lax.conv_general_dilated(
+                xp, kp, window_strides=(1, 1), padding=conv_pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y.reshape(b, d + 2 * pz, h, w, k, co)
+            out = y[:, 0:d, :, :, 0]
+            for dz in range(1, k):
+                out = out + y[:, dz:dz + d, :, :, dz]
+            return out + bias.astype(out.dtype)
         out = None
-        for dz in range(3):
+        for dz in range(k):
             c = jax.lax.conv_general_dilated(
                 xp, kernel[dz].astype(dt), window_strides=(1, 1),
                 padding=conv_pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            c = c.reshape(b, d + 2, h, w, co)[:, dz:dz + d]
+            c = c.reshape(b, d + 2 * pz, h, w, co)[:, dz:dz + d]
             out = c if out is None else out + c
         out = out + bias.astype(out.dtype)
         return out
@@ -194,10 +216,13 @@ class Conv3DBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if (self.backend == "conv2d" and self.kernel_size == 3
-                and self.stride == 1):
+        if (self.backend in ("conv2d", "conv2d_packed")
+                and self.kernel_size % 2 == 1 and self.stride == 1):
             y = ZDecomposedConv3D(self.features, init_for(self.activation),
-                                  self.padding, self.dtype, name="Conv_0")(x)
+                                  self.padding, self.dtype,
+                                  packed=(self.backend == "conv2d_packed"),
+                                  kernel_size=self.kernel_size,
+                                  name="Conv_0")(x)
             return act_fn(self.activation)(y)
         if (self.backend == "pallas" and self.kernel_size == 3
                 and self.stride == 1 and self.padding == "zeros"):
@@ -295,11 +320,12 @@ class Conv3DUpsampleBlock(nn.Module):
     activation: Optional[str] = None
     dtype: Any = jnp.float32
     mode: str = "subpixel"
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         x = Conv3DBlock(self.features, self.kernel_size, 1, self.activation,
-                        dtype=self.dtype)(x)
+                        dtype=self.dtype, backend=self.backend)(x)
         if self.stride > 1:
             if self.mode == "subpixel":
                 return SubpixelUpsample3D(self.features, self.stride,
@@ -325,7 +351,7 @@ class Conv3DUpsampleBlock(nn.Module):
                 x, (b, d * self.stride, h * self.stride, w * self.stride, c),
                 method="trilinear")
         x = Conv3DBlock(self.features, self.kernel_size, 1, self.activation,
-                        dtype=self.dtype)(x)
+                        dtype=self.dtype, backend=self.backend)(x)
         return x
 
 

@@ -76,7 +76,13 @@ class PerceiverConfig:
     # z-shifted adds (exact; ZDecomposedConv3D) — depth folds into batch so
     # XLA keeps the canonical image layout instead of split-spatial 3-D
     # conv layouts: 29.4 vs 34.0 ms bf16 policy forward on v5e (round 4)
-    conv_backend: str = "conv2d"     # "xla" | "pallas" | "conv2d" (k3/s1)
+    # "xla" | "pallas" | "conv2d" | "conv2d_packed" (odd k, s1; _packed
+    # issues one k*Cout-wide conv — full-MXU tap packing, exact vs conv2d)
+    conv_backend: str = "conv2d"
+    # backend for up0's k5 convs (separate knob so flipping it cannot
+    # silently change the numerics of checkpoints trained before it
+    # existed; see BENCH_NOTES conv2d borderline-argmax note)
+    upsample_conv_backend: str = "xla"
     stats_backend: str = "xla"       # "xla" | "pallas" spatial-softmax stats
     # auxiliary coarse translation head: 20^3 logits read directly off the
     # decoder tokens (before upsample). The 100^3 CE gradient for a target
@@ -289,6 +295,7 @@ class PerceiverIO(nn.Module):
         u0 = Conv3DUpsampleBlock(c.final_dim, c.voxel_patch_size,
                                  c.voxel_patch_size, c.activation, dtype=dt,
                                  mode=c.upsample_mode,
+                                 backend=c.upsample_conv_backend,
                                  name="up0")(dec)           # (B, V,V,V, 64)
         u = Conv3DBlock(c.im_channels, 3, 1, c.activation, dtype=dt,
                         padding=c.conv_padding, backend=c.conv_backend,

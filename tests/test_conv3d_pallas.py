@@ -61,3 +61,60 @@ def test_zdecomposed_conv2d_backend_matches_xla():
         np.testing.assert_allclose(np.asarray(new.apply(p, x)),
                                    np.asarray(ref.apply(p, x)),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_zdecomposed_conv2d_packed_matches_unpacked():
+    """conv_backend='conv2d_packed' (one 3*Cout-wide conv, full-MXU tap
+    packing) is exact vs both the unpacked conv2d decomposition and the
+    XLA 3-D conv, under both padding modes, sharing the same param tree."""
+    from real_robot_nerf_actor_tpu.models.blocks import Conv3DBlock
+    x = jax.random.normal(jax.random.key(3), (2, 7, 9, 11, 16))
+    for pad in ("zeros", "replicate"):
+        ref = Conv3DBlock(8, 3, 1, "lrelu", padding=pad)
+        unpacked = Conv3DBlock(8, 3, 1, "lrelu", padding=pad,
+                               backend="conv2d")
+        packed = Conv3DBlock(8, 3, 1, "lrelu", padding=pad,
+                             backend="conv2d_packed")
+        p = ref.init(jax.random.key(0), x)
+        assert (jax.tree_util.tree_structure(p)
+                == jax.tree_util.tree_structure(
+                    packed.init(jax.random.key(0), x)))
+        got = np.asarray(packed.apply(p, x))
+        np.testing.assert_allclose(got, np.asarray(unpacked.apply(p, x)),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(got, np.asarray(ref.apply(p, x)),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_zdecomposed_k5_matches_xla():
+    """The generalized odd-k z-decomposition (k=5, up0's kernel) is exact
+    vs the XLA 3-D conv, packed and unpacked, both padding modes."""
+    from real_robot_nerf_actor_tpu.models.blocks import Conv3DBlock
+    x = jax.random.normal(jax.random.key(5), (1, 8, 9, 11, 12))
+    for pad in ("zeros", "replicate"):
+        ref = Conv3DBlock(8, 5, 1, "lrelu", padding=pad)
+        p = ref.init(jax.random.key(0), x)
+        want = np.asarray(ref.apply(p, x))
+        for be in ("conv2d", "conv2d_packed"):
+            new = Conv3DBlock(8, 5, 1, "lrelu", padding=pad, backend=be)
+            assert (jax.tree_util.tree_structure(p)
+                    == jax.tree_util.tree_structure(
+                        new.init(jax.random.key(0), x)))
+            np.testing.assert_allclose(np.asarray(new.apply(p, x)), want,
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_upsample_block_backend_matches_xla():
+    """Conv3DUpsampleBlock with backend='conv2d_packed' (the up0 lowering
+    knob) matches the default-xla block exactly, same param tree."""
+    from real_robot_nerf_actor_tpu.models.blocks import Conv3DUpsampleBlock
+    x = jax.random.normal(jax.random.key(7), (1, 4, 4, 4, 24))
+    ref = Conv3DUpsampleBlock(16, 5, 5, "lrelu", mode="transpose")
+    new = Conv3DUpsampleBlock(16, 5, 5, "lrelu", mode="transpose",
+                              backend="conv2d_packed")
+    p = ref.init(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(new.init(jax.random.key(0), x)))
+    np.testing.assert_allclose(np.asarray(new.apply(p, x)),
+                               np.asarray(ref.apply(p, x)),
+                               rtol=1e-4, atol=1e-5)
