@@ -226,6 +226,8 @@ def bench_nerf_render(jax, rt: float, n_inner: int = 8,
 
 def bench_policy(jax, rt: float, n_inner: int = 10,
                  dtype: str = "bfloat16"):
+    import dataclasses
+
     import jax.numpy as jnp
     from real_robot_nerf_actor_tpu.models import PerceiverConfig, PerceiverIO
     from real_robot_nerf_actor_tpu.ops import choose_highest_action
@@ -256,6 +258,32 @@ def bench_policy(jax, rt: float, n_inner: int = 10,
     int(repeat_act(params, vox, proprio, lang))  # warmup/compile
     dt = timed_min(lambda: int(repeat_act(params, vox, proprio, lang)), rt)
     per_act = dt / n_inner
+
+    # candidate conv lowerings (round 5): full-MXU tap packing for the
+    # final 128->64 conv, and the same lowering extended through up0's k5
+    # convs. Param-tree compatible with the default net, so the same
+    # params measure all three. Exactness: test_conv3d_pallas.py.
+    variant_ms = {}
+    for key, be, ube in (("packed", "conv2d_packed", "xla"),
+                         ("packed_up0", "conv2d_packed", "conv2d_packed")):
+        vcfg = dataclasses.replace(cfg, conv_backend=be,
+                                   upsample_conv_backend=ube)
+        vnet = PerceiverIO(vcfg)
+
+        @jax.jit
+        def repeat_v(params, vox, proprio, lang, _vnet=vnet):
+            def body(carry, i):
+                q_trans, q_rot_grip, q_coll = _vnet.apply(
+                    params, vox + i.astype(vox.dtype) * 1e-6, proprio, lang)
+                coords, rot_grip, coll = choose_highest_action(
+                    q_trans, q_rot_grip, q_coll)
+                return carry + jnp.sum(coords) + jnp.sum(rot_grip), None
+            total, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_inner))
+            return total
+
+        int(repeat_v(params, vox, proprio, lang))
+        vdt = timed_min(lambda: int(repeat_v(params, vox, proprio, lang)), rt)
+        variant_ms[key] = vdt / n_inner * 1000.0
     # single-call p50 (includes the unavoidable dispatch round trip)
     single = jax.jit(lambda p, v, pr, l: choose_highest_action(
         *net.apply(p, v, pr, l)))
@@ -280,7 +308,7 @@ def bench_policy(jax, rt: float, n_inner: int = 10,
     int(jnp.sum(outs[-1][0]) + jnp.sum(outs[-1][1]))
     piped = (time.perf_counter() - t0 - rt) / k
     return (1.0 / per_act, per_act * 1000.0, lat[len(lat) // 2] * 1000.0,
-            piped * 1000.0)
+            piped * 1000.0, variant_ms)
 
 
 def bench_serve_pipeline(jax, rt: float, n_inner: int = 8,
@@ -661,7 +689,8 @@ def main():
             camera="evalcam")
     except Exception:
         evalcam_rays, evalcam_frac = 0.0, 0.0
-    actions_per_sec, device_ms, e2e_p50_ms, piped_p50_ms = bench_policy(jax, rt)
+    (actions_per_sec, device_ms, e2e_p50_ms, piped_p50_ms,
+     policy_variant_ms) = bench_policy(jax, rt)
     try:
         serve_loop_p50_ms, serve_loop_dev_ms, serve_scan_ms = \
             bench_serve_loop(jax, rt)
@@ -751,6 +780,11 @@ def main():
         "occupancy_serve_rays_per_sec": round(occ_serve_rays, 1),
         "policy_actions_per_sec": round(actions_per_sec, 2),
         "policy_device_ms": round(device_ms, 2),
+        # round-5 candidate conv lowerings (exact, param-compatible):
+        # full-MXU tap packing for the final conv / + up0's k5 convs
+        "policy_device_ms_packed": round(policy_variant_ms["packed"], 2),
+        "policy_device_ms_packed_up0": round(
+            policy_variant_ms["packed_up0"], 2),
         "policy_p50_latency_ms": round(e2e_p50_ms, 2),
         "policy_pipelined_p50_ms": round(piped_p50_ms, 2),
         "voxelize_220k_clouds_per_sec": round(vox_per_sec, 2),
