@@ -281,9 +281,13 @@ def bench_policy(jax, rt: float, n_inner: int = 10,
             total, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_inner))
             return total
 
-        int(repeat_v(params, vox, proprio, lang))
-        vdt = timed_min(lambda: int(repeat_v(params, vox, proprio, lang)), rt)
-        variant_ms[key] = vdt / n_inner * 1000.0
+        try:
+            int(repeat_v(params, vox, proprio, lang))
+            vdt = timed_min(
+                lambda: int(repeat_v(params, vox, proprio, lang)), rt)
+            variant_ms[key] = vdt / n_inner * 1000.0
+        except Exception:
+            variant_ms[key] = -1.0
     # single-call p50 (includes the unavoidable dispatch round trip)
     single = jax.jit(lambda p, v, pr, l: choose_highest_action(
         *net.apply(p, v, pr, l)))
